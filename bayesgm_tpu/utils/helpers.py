@@ -1,0 +1,167 @@
+"""Statistical helpers: ADRF oracles, SIR dimension estimation, MNIST masks
+(reference src/bayesgm/utils/helpers.py)."""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+
+
+def get_ADRF(x_values=None, x_min=None, x_max=None, nb_intervals=None, dataset: str = "Imbens"):
+    """Closed-form ground-truth dose-response curves (reference helpers.py:8-66).
+
+    Imbens: x + 2/(1+x)^3;  Sun: x - 1/2 + e^{-0.5} + 1;  Lee: 1.2x + x^3.
+    """
+    valid = {"Imbens", "Sun", "Lee"}
+    if dataset not in valid:
+        raise ValueError(f"`dataset` must be one of {valid}, but got '{dataset}'.")
+    if x_values is not None:
+        if not isinstance(x_values, (list, np.ndarray)):
+            raise ValueError("`x_values` must be a list or numpy array.")
+        x_values = np.array(x_values, dtype="float32")
+    elif x_min is not None and x_max is not None and nb_intervals is not None:
+        if x_min >= x_max:
+            raise ValueError("`x_min` must be less than `x_max`.")
+        if nb_intervals <= 0:
+            raise ValueError("`nb_intervals` must be a positive integer.")
+        x_values = np.linspace(x_min, x_max, nb_intervals, dtype="float32")
+    else:
+        raise ValueError("Either `x_values` or (`x_min`, `x_max`, `nb_intervals`) must be provided.")
+
+    if dataset == "Imbens":
+        return x_values + 2.0 / (1.0 + x_values) ** 3
+    if dataset == "Sun":
+        return x_values - 0.5 + np.exp(-0.5) + 1.0
+    return 1.2 * x_values + x_values**3
+
+
+def slice_y(y, n_slices: int = 10):
+    """Partition samples into contiguous y-slices (SIR machinery,
+    reference helpers.py:69-142).  Returns (slice_indicator, slice_counts)."""
+    unique_y_vals, counts = np.unique(y, return_counts=True)
+    cumsum_y = np.cumsum(counts)
+    n_y_values = unique_y_vals.shape[0]
+    if n_y_values == 1:
+        raise ValueError(
+            "The target only has one unique y value. It does not make sense to fit SIR or SAVE in this case."
+        )
+    if n_slices >= n_y_values:
+        if n_slices > n_y_values:
+            warnings.warn(
+                "n_slices greater than the number of unique y values. "
+                f"Setting n_slices equal to {counts.shape[0]}."
+            )
+        slice_partition = np.hstack((0, cumsum_y))
+    else:
+        n_obs = np.floor(y.shape[0] / n_slices)
+        n_seen = 0
+        slice_partition = [0]
+        while n_seen < y.shape[0] - 2:
+            start = np.where(cumsum_y >= n_seen + n_obs)[0]
+            start = cumsum_y.shape[0] - 1 if start.shape[0] == 0 else start[0]
+            n_seen = cumsum_y[start]
+            slice_partition.append(n_seen)
+
+    slice_indicator = np.ones(y.shape[0], dtype="int64")
+    for j, (start_idx, end_idx) in enumerate(zip(slice_partition, slice_partition[1:])):
+        if j == len(slice_partition) - 2:
+            slice_indicator[start_idx:] = j
+        else:
+            slice_indicator[start_idx:end_idx] = j
+    slice_counts = np.bincount(slice_indicator)
+    return slice_indicator, slice_counts
+
+
+def get_SDR_dim(X, y, n_slices: int = 10, ratio: float = 0.8):
+    """Sliced-Inverse-Regression dimension: QR-whiten, per-slice means,
+    eigen-spectrum cumulative-variance threshold (reference helpers.py:145-179)."""
+    import scipy.linalg as linalg
+
+    if y.ndim == 2:
+        assert y.shape[1] == 1, "The shape of y should be (n_samples, 1)."
+        y = np.squeeze(y)
+    n_samples = X.shape[0]
+    X = X - np.mean(X, axis=0)
+    Q, _ = linalg.qr(X, mode="economic")
+    Z = np.sqrt(n_samples) * Q
+    Z = Z[np.argsort(y), :]
+
+    slices, counts = slice_y(y, n_slices)
+    inv_idx = np.concatenate(([0], np.diff(slices).nonzero()[0] + 1))
+    Z_sum = np.add.reduceat(Z, inv_idx)
+    Z_means = Z_sum / np.sqrt(counts.reshape(-1, 1))
+    M = Z_means.T @ Z_means / n_samples
+    evals = linalg.eigh(M, eigvals_only=True)[::-1]
+    cumulative = np.cumsum(evals)
+    threshold_index = np.argmax(cumulative >= ratio * np.sum(evals))
+    return int(threshold_index + 1)
+
+
+def estimate_latent_dims(x, y, v, v_ratio: float = 0.7, z0_dim: int = 3,
+                         max_total_dim: int = 64, min_z3_dim: int = 3):
+    """Auto [z0, z1, z2, z3] selection via SIR (V→y, V→x) + PCA total dim
+    (reference helpers.py:181-222)."""
+    from sklearn.decomposition import PCA
+    from sklearn.preprocessing import StandardScaler
+
+    v = StandardScaler().fit_transform(v)
+    y = StandardScaler().fit_transform(y)
+    z1_dim = get_SDR_dim(v, y, n_slices=10, ratio=0.8)
+    z2_dim = get_SDR_dim(v, x, n_slices=10, ratio=0.8)
+    pca = PCA().fit(v)
+    cumulative = np.cumsum(pca.explained_variance_ratio_)
+    total_z_dim = int(np.argmax(cumulative >= v_ratio) + 1)
+    total_z_dim = min(max_total_dim, total_z_dim)
+    z3_dim = total_z_dim - z0_dim - z1_dim - z2_dim
+    if z3_dim <= min_z3_dim:
+        z3_dim = min_z3_dim
+    return [z0_dim, z1_dim, z2_dim, z3_dim]
+
+
+def mnist_mask_indices(shape=(28, 28), mode="hole", center=(14, 14), num_holes=1,
+                       hole_size=3, orientation="horizontal", stripe_width=4,
+                       stripe_pos=14, seed=None):
+    """Pixel mask builders returning (observed, missing) flat index arrays
+    (reference helpers.py:224-313).
+
+    Modes: 'holes' (square hole at ``center``), 'edge_stripe' (stripe of
+    ``stripe_width`` at ``stripe_pos``), and the four half-image masks.
+    """
+    H, W = shape
+    mask = np.zeros((H, W), dtype=bool)  # True = masked out (missing)
+
+    if mode in ("hole", "holes"):
+        rng = np.random.default_rng(seed)
+        r = hole_size
+        r2 = r // 2
+        if center is None:
+            valid_rows = np.arange(r2, H - (r - r2 - 1))
+            valid_cols = np.arange(r2, W - (r - r2 - 1))
+            center = (rng.choice(valid_rows), rng.choice(valid_cols))
+        cy, cx = center
+        mask[cy - r2 : cy - r2 + r, cx - r2 : cx - r2 + r] = True
+    elif mode == "edge_stripe":
+        w = int(stripe_width)
+        start = stripe_pos - w // 2
+        end = start + w
+        if orientation == "horizontal":
+            mask[start:end, :] = True
+        elif orientation == "vertical":
+            mask[:, start:end] = True
+        else:
+            raise ValueError(f"Unknown orientation: {orientation}")
+    elif mode == "upper_half":
+        mask[: H // 2, :] = True
+    elif mode == "lower_half":
+        mask[H // 2 :, :] = True
+    elif mode == "left_half":
+        mask[:, : W // 2] = True
+    elif mode == "right_half":
+        mask[:, W // 2 :] = True
+    else:
+        raise ValueError(f"Unknown mode: {mode}")
+
+    ind_x1 = np.flatnonzero(~mask)  # observed
+    ind_x2 = np.flatnonzero(mask)  # missing
+    return ind_x1, ind_x2

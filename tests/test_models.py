@@ -1,0 +1,201 @@
+"""Model lifecycle smoke/integration tests (modeled on the reference strategy,
+src/bayesgm/tests/test_models.py, with tiny nets and iteration counts), plus
+numerical golden tests the reference lacks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesgm_tpu.models.bgm import BGM
+from bayesgm_tpu.models.causalbgm import CausalBGM
+
+
+@pytest.fixture(scope="module")
+def causal_data():
+    rng = np.random.RandomState(0)
+    n, v_dim = 100, 6
+    v = rng.randn(n, v_dim).astype("float32")
+    x = rng.rand(n, 1).astype("float32")
+    y = (x + v[:, :1] + 0.1 * rng.randn(n, 1)).astype("float32")
+    return x, y, v
+
+
+def _causal_params(v_dim=6, tmpdir="/tmp/bgm_tests", **kw):
+    p = dict(v_dim=v_dim, z_dims=[1, 1, 1, 3], binary_treatment=False,
+             dataset="unit", output_dir=tmpdir, use_bnn=False,
+             g_units=[8, 8], e_units=[8, 8], f_units=[8], h_units=[8],
+             dz_units=[8], save_res=False, save_model=False)
+    p.update(kw)
+    return p
+
+
+def test_causalbgm_full_lifecycle(causal_data, tmp_path):
+    x, y, v = causal_data
+    m = CausalBGM(_causal_params(tmpdir=str(tmp_path)), random_seed=123)
+    m.initialize_nets(print_summary=True)
+    cfg = m.get_config()
+    assert cfg["params"]["v_dim"] == 6
+
+    m.egm_init((x, y, v), egm_n_iter=10, batch_size=16, egm_batches_per_eval=10, verbose=0)
+    m.fit((x, y, v), epochs=3, epochs_per_eval=2, batch_size=16,
+          use_egm_init=False, verbose=0)
+
+    causal_pre, mse_x, mse_y, mse_v = m.evaluate((x, y, v), m.data_z)
+    assert causal_pre.shape == (200,)  # ADRF grid
+    for s in (mse_x, mse_y, mse_v):
+        assert np.isfinite(float(s))
+
+    # scalar and list x_values
+    adrf, ci = m.predict((x, y, v), alpha=0.1, n_mcmc=10, burn_in=20, x_values=1.0)
+    assert adrf.shape == (1,) and ci.shape == (1, 2)
+    adrf, ci = m.predict((x, y, v), alpha=0.1, n_mcmc=10, burn_in=20, x_values=[0.5, 1.5])
+    assert adrf.shape == (2,) and ci.shape == (2, 2)
+    assert np.all(ci[:, 0] <= ci[:, 1])
+
+
+def test_causalbgm_binary(tmp_path):
+    rng = np.random.RandomState(1)
+    n, v_dim = 80, 5
+    v = rng.randn(n, v_dim).astype("float32")
+    x = (rng.rand(n, 1) < 0.5).astype("float32")
+    y = (2 * x + v[:, :1] + 0.1 * rng.randn(n, 1)).astype("float32")
+    m = CausalBGM(_causal_params(v_dim=v_dim, tmpdir=str(tmp_path),
+                                 binary_treatment=True), random_seed=3)
+    m.fit((x, y, v), epochs=2, epochs_per_eval=2, batch_size=16, use_egm_init=False, verbose=0)
+    ite, ci = m.predict((x, y, v), alpha=0.1, n_mcmc=10, burn_in=20)
+    assert ite.shape == (n,) and ci.shape == (n, 2)
+    # evaluate returns per-sample ITEs for binary treatment
+    pre, *_ = m.evaluate((x, y, v), m.data_z)
+    assert pre.shape == (n, 1)
+
+
+def test_causalbgm_predict_requires_x_values(causal_data, tmp_path):
+    x, y, v = causal_data
+    m = CausalBGM(_causal_params(tmpdir=str(tmp_path)), random_seed=0)
+    with pytest.raises(ValueError):
+        m.predict((x, y, v), n_mcmc=5, burn_in=5)
+    with pytest.raises(AssertionError):
+        m.predict((x, y, v), alpha=1.5, n_mcmc=5, burn_in=5, x_values=1.0)
+
+
+def test_causalbgm_log_posterior_golden(causal_data, tmp_path):
+    """Non-BNN log posterior equals a hand-rolled numpy computation."""
+    x, y, v = causal_data
+    m = CausalBGM(_causal_params(tmpdir=str(tmp_path), sigma_v=1.0, sigma_x=1.0,
+                                 sigma_y=1.0), random_seed=0)
+    n = 10
+    z = np.random.RandomState(2).randn(n, 6).astype("float32")
+    got = np.asarray(m.get_log_posterior(x[:n], y[:n], v[:n], z))
+
+    from bayesgm_tpu.ops import nn
+
+    d0, d1, d2 = 1, 1, 1
+    z0, z1, z2 = z[:, :d0], z[:, d0:d0 + d1], z[:, d0 + d1:d0 + d1 + d2]
+    mu_v = np.asarray(nn.mlp_apply(m.nets["g"], jnp.asarray(z)))[:, :6]
+    mu_x = np.asarray(nn.mlp_apply(m.nets["h"], jnp.asarray(np.hstack([z0, z2]))))[:, :1]
+    mu_y = np.asarray(nn.mlp_apply(m.nets["f"], jnp.asarray(np.hstack([z0, z1, x[:n]]))))[:, :1]
+    lv = ((v[:n] - mu_v) ** 2).sum(1) / 2 + 6 * np.log(1.0) / 2
+    lx = ((x[:n] - mu_x) ** 2).sum(1) / 2
+    ly = ((y[:n] - mu_y) ** 2).sum(1) / 2
+    lp = (z**2).sum(1) / 2
+    expected = -(lv + lx + ly + lp)
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_causalbgm_fixed_sigma_changes_posterior(causal_data, tmp_path):
+    x, y, v = causal_data
+    m1 = CausalBGM(_causal_params(tmpdir=str(tmp_path)), random_seed=0)
+    m2 = CausalBGM(_causal_params(tmpdir=str(tmp_path), sigma_v=0.1), random_seed=0)
+    z = np.zeros((5, 6), dtype="float32")
+    lp1 = np.asarray(m1.get_log_posterior(x[:5], y[:5], v[:5], z))
+    lp2 = np.asarray(m2.get_log_posterior(x[:5], y[:5], v[:5], z))
+    assert not np.allclose(lp1, lp2)
+
+
+def test_causalbgm_checkpoint_restore(causal_data, tmp_path):
+    x, y, v = causal_data
+    params = _causal_params(tmpdir=str(tmp_path), save_model=True)
+    m = CausalBGM(params, timestamp="fixed", random_seed=11)
+    # epochs=0: the single (epoch-0) eval checkpoints exactly the final nets
+    m.fit((x, y, v), epochs=0, epochs_per_eval=1, batch_size=16, use_egm_init=False, verbose=0)
+    ref_out = np.asarray(m.get_log_posterior(x[:5], y[:5], v[:5], np.zeros((5, 6), "float32")))
+
+    m2 = CausalBGM(params, timestamp="fixed", random_seed=999)  # different seed, restored weights
+    out2 = np.asarray(m2.get_log_posterior(x[:5], y[:5], v[:5], np.zeros((5, 6), "float32")))
+    np.testing.assert_allclose(ref_out, out2, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# BGM
+# ---------------------------------------------------------------------------
+
+
+def _bgm_params(x_dim=5, tmpdir="/tmp/bgm_tests", **kw):
+    p = dict(x_dim=x_dim, z_dim=2, dataset="unit", output_dir=tmpdir,
+             use_bnn=False, g_units=[8, 8], e_units=[8, 8],
+             dz_units=[8], dx_units=[8], save_res=False, save_model=False)
+    p.update(kw)
+    return p
+
+
+@pytest.fixture(scope="module")
+def bgm_data():
+    from bayesgm_tpu.datasets import simulate_low_rank_data
+
+    X, Z = simulate_low_rank_data(n_samples=120)
+    return X.astype("float32")
+
+
+def test_bgm_full_lifecycle(bgm_data, tmp_path):
+    data = bgm_data
+    m = BGM(_bgm_params(x_dim=4, tmpdir=str(tmp_path)), random_seed=42)
+    m.fit(data, batch_size=16, epochs=3, epochs_per_eval=2,
+          use_egm_init=True, egm_n_iter=10, egm_batches_per_eval=10, verbose=0)
+    assert len(m.history_loss) >= 1
+
+    mse = float(m.evaluate(data))
+    assert np.isfinite(mse)
+    gen, var = m.generate(nb_samples=50)
+    assert gen.shape == (50, 4) and bool(jnp.all(var > 0))
+
+    # imputation with shared missing pattern
+    test = np.array(data[:10])
+    test[:, 1] = np.nan
+    imputed, intervals = m.predict(test, alpha=0.2, n_mcmc=20, burn_in=30)
+    assert imputed.shape == (10, 4)
+    assert not np.any(np.isnan(imputed))
+    np.testing.assert_allclose(imputed[:, 0], data[:10, 0], rtol=1e-5)
+    assert intervals.shape == (10, 1, 2)
+
+    # return_samples cube
+    cube, _ = m.predict(test, n_mcmc=20, burn_in=30, return_samples=True)
+    assert cube.shape == (20, 10, 4)
+
+
+def test_bgm_ragged_missing_pattern(bgm_data, tmp_path):
+    data = bgm_data
+    m = BGM(_bgm_params(x_dim=4, tmpdir=str(tmp_path)), random_seed=0)
+    m.fit(data, batch_size=16, epochs=1, epochs_per_eval=1, use_egm_init=False, verbose=0)
+    test = np.array(data[:6])
+    test[0, 1] = np.nan
+    test[2, 2] = np.nan
+    test[2, 3] = np.nan
+    imputed, intervals = m.predict(test, n_mcmc=10, burn_in=20)
+    assert isinstance(intervals, list)
+    assert intervals[0].shape == (1, 2)
+    assert intervals[1].shape == (0, 2)
+    assert intervals[2].shape == (2, 2)
+
+
+def test_bgm_log_posterior_masked_gather(bgm_data, tmp_path):
+    m = BGM(_bgm_params(x_dim=4, tmpdir=str(tmp_path)), random_seed=7)
+    data = bgm_data[:8]
+    z = np.random.RandomState(0).randn(8, 2).astype("float32")
+    # full-likelihood == gather over all dims
+    lp_full = np.asarray(m.get_log_posterior(z, data, key=jax.random.PRNGKey(0)))
+    all_idx = np.tile(np.arange(4), (8, 1))
+    lp_gather = np.asarray(m.get_log_posterior(z, data, ind_x1=all_idx,
+                                               obs_mask=np.ones((8, 4), "float32"),
+                                               key=jax.random.PRNGKey(0)))
+    np.testing.assert_allclose(lp_full, lp_gather, rtol=1e-4)
