@@ -1,0 +1,346 @@
+"""IdentifiableCausalBGM: iVAE-style identifiable variant of CausalBGM.
+
+TPU-native re-design of src/bayesgm/models/causalbgm/identifiable.py:15-616.
+Adds an auxiliary one-hot segment variable ``U`` and a conditional latent
+prior ``Z | U ~ N(mu(U), sigma^2(U) I)`` produced by a ``prior_net``; the
+latent update becomes a joint E-step (gradient ascent on Z) + M-step (Adam on
+prior_net) sharing one loss evaluation.
+
+Two reference quirks are fixed (documented in SURVEY.md §2.2):
+- ``evaluate`` here returns the 7-tuple the reference ``fit`` expects
+  (identifiable.py:334 unpacks 7 values from the inherited 4-value
+  ``CausalBGM.evaluate``);
+- ``predict`` forwards ``burn_in`` to the sampler (the reference drops it,
+  identifiable.py:397).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bayesgm_tpu.models import causalbgm as cb
+from bayesgm_tpu.ops import distributions as dist
+from bayesgm_tpu.ops import mcmc, nn, optim
+from bayesgm_tpu.utils.data_io import save_data
+
+
+def _prior_apply(cfg, prior_net, u, key):
+    out = cb._apply(cfg, prior_net, u, key)
+    z_dim = sum(cfg.z_dims)
+    mu_z = out[:, :z_dim]
+    sigma_sq_z = dist.softplus_var(out[:, -1:])  # (n, 1) scalar variance
+    return mu_z, sigma_sq_z
+
+
+def _conditional_prior_nll(cfg, prior_net, z, u, key):
+    """-log N(z; mu(u), sigma^2(u) I) per sample (identifiable.py:199-210)."""
+    mu_z, sigma_sq_z = _prior_apply(cfg, prior_net, u, key)
+    s = jnp.squeeze(sigma_sq_z, axis=-1)
+    z_dim = sum(cfg.z_dims)
+    return jnp.sum((z - mu_z) ** 2, axis=1) / (2.0 * s) + z_dim * jnp.log(s) / 2.0
+
+
+def _ivae_latent_loss(cfg, nets, prior_net, z, x, y, v, u, key, kl_weight):
+    """Posterior loss with the conditional prior replacing N(0, I)
+    (identifiable.py:151-216)."""
+    k_lik, k_prior = jax.random.split(key)
+    rows = cb._neg_log_posterior_rows(cfg, nets, z, x, y, v, k_lik)
+    # remove the standard-normal prior term and add the conditional one
+    rows = rows - dist.standard_normal_neg_log_prior(z)
+    loss = jnp.mean(rows) + jnp.mean(_conditional_prior_nll(cfg, prior_net, z, u, k_prior))
+    if cfg.use_bnn:
+        loss = loss + nn.flipout_mlp_kl(prior_net) * kl_weight
+    return loss
+
+
+def _ivae_train_batch_step(cfg, kl_weight, carry, idx, data, data_u):
+    """g/h/f updates + joint (Z, prior_net) update (identifiable.py:303-323)."""
+    nets, opts, prior_net, prior_opt, z_table, z_opt, key = carry
+    x, y, v = data
+    bx, by, bv, bu = x[idx], y[idx], v[idx], data_u[idx]
+    bz = z_table[idx]
+    key, kg, kh, kf, kz = jax.random.split(key, 5)
+
+    (loss_v, mse_v), g_grads = jax.value_and_grad(
+        lambda g: cb._loss_v(cfg, g, bz, bv, kg), has_aux=True)(nets["g"])
+    new_g, opt_g = optim.adam_update(g_grads, opts["g"], nets["g"], cfg.lr_theta)
+
+    (loss_x, mse_x), h_grads = jax.value_and_grad(
+        lambda h: cb._loss_x(cfg, h, bz, bx, kh), has_aux=True)(nets["h"])
+    new_h, opt_h = optim.adam_update(h_grads, opts["h"], nets["h"], cfg.lr_theta)
+
+    (loss_y, mse_y), f_grads = jax.value_and_grad(
+        lambda f: cb._loss_y(cfg, f, bz, bx, by, kf), has_aux=True)(nets["f"])
+    new_f, opt_f = optim.adam_update(f_grads, opts["f"], nets["f"], cfg.lr_theta)
+
+    nets = {**nets, "g": new_g, "h": new_h, "f": new_f}
+    opts = {**opts, "g": opt_g, "h": opt_h, "f": opt_f}
+
+    # One loss evaluation, two gradients (E-step on Z rows, M-step on the
+    # prior net) — the persistent-tape pattern of identifiable.py:218-226.
+    loss_post, (z_grads, prior_grads) = jax.value_and_grad(
+        lambda zr, pn: _ivae_latent_loss(cfg, nets, pn, zr, bx, by, bv, bu, kz, kl_weight),
+        argnums=(0, 1))(bz, prior_net)
+    z_table, z_opt = optim.table_adam_update_rows(z_grads, idx, z_opt, z_table, cfg.lr_z)
+    prior_net, prior_opt = optim.adam_update(prior_grads, prior_opt, prior_net, cfg.lr_theta)
+
+    losses = dict(loss_v=loss_v, mse_v=mse_v, loss_x=loss_x, mse_x=mse_x,
+                  loss_y=loss_y, mse_y=mse_y, loss_postrior_z=loss_post)
+    return (nets, opts, prior_net, prior_opt, z_table, z_opt, key), losses
+
+
+def _ivae_evaluate(cfg, nets, data, z, key, nb_intervals=200):
+    """7-tuple evaluate: causal_pre + MSEs + predictions (fixes the
+    inherited-evaluate arity bug noted in SURVEY.md §2.2)."""
+    x, y, v = data
+    kg, kf, kh, ke, kfa, kfb = jax.random.split(key, 6)
+    if z is None:
+        z = cb._apply(cfg, nets["e"], v, ke)
+    z0, z1, z2 = cb._split_z(cfg, z)
+    v_pred = cb._apply(cfg, nets["g"], z, kg)[:, : cfg.v_dim]
+    y_pred = cb._apply(cfg, nets["f"], jnp.concatenate([z0, z1, x], axis=-1), kf)[:, :1]
+    x_pred = cb._apply(cfg, nets["h"], jnp.concatenate([z0, z2], axis=-1), kh)[:, :1]
+    if cfg.binary_treatment:
+        x_pred = jax.nn.sigmoid(x_pred)
+    mse_v = jnp.mean((v - v_pred) ** 2)
+    mse_x = jnp.mean((x - x_pred) ** 2)
+    mse_y = jnp.mean((y - y_pred) ** 2)
+
+    if cfg.binary_treatment:
+        ones = jnp.ones((x.shape[0], 1), jnp.float32)
+        y_pos = cb._apply(cfg, nets["f"], jnp.concatenate([z0, z1, ones], axis=-1), kfa)[:, :1]
+        y_neg = cb._apply(cfg, nets["f"], jnp.concatenate([z0, z1, 0.0 * ones], axis=-1), kfb)[:, :1]
+        causal_pre = y_pos - y_neg
+    else:
+        x_min = jnp.percentile(x, 5.0, method="nearest")
+        x_max = jnp.percentile(x, 95.0, method="nearest")
+        x_grid = jnp.linspace(x_min, x_max, nb_intervals)
+
+        def dose_response(xv):
+            x_tile = jnp.full((x.shape[0], 1), xv, jnp.float32)
+            yp = cb._apply(cfg, nets["f"], jnp.concatenate([z0, z1, x_tile], axis=-1), kfa)[:, :1]
+            return jnp.mean(yp)
+
+        causal_pre = jax.vmap(dose_response)(x_grid)
+    return causal_pre, mse_x, mse_y, mse_v, x_pred, y_pred, v_pred
+
+
+class IdentifiableCausalBGM(cb.CausalBGM):
+    """Identifiable CausalBGM via an auxiliary segment variable U (iVAE).
+
+    Extra optional params: ``'n_segments'`` (10), ``'prior_units'`` ([64]).
+    """
+
+    def __init__(self, params, timestamp=None, random_seed=None):
+        params = dict(params)
+        params.setdefault("n_segments", 10)
+        params.setdefault("prior_units", [64])
+        super().__init__(params, timestamp=timestamp, random_seed=random_seed)
+
+    def _build_nets(self):
+        super()._build_nets()
+        cfg, p = self.cfg, self.params
+        z_dim = sum(cfg.z_dims)
+        kp = self._next_key()
+        init = nn.init_flipout_mlp if cfg.use_bnn else nn.init_mlp
+        self.prior_net = init(kp, p["n_segments"], z_dim + 1, p["prior_units"])
+        self._prior_opt = optim.adam_init(self.prior_net)
+
+    def _sample_u(self, n):
+        """One-hot random segment assignments (identifiable.py:277-280)."""
+        seg = np.random.randint(0, self.params["n_segments"], size=n)
+        return jnp.asarray(np.eye(self.params["n_segments"], dtype="float32")[seg])
+
+    def fit(self, data, batch_size=32, epochs=100, epochs_per_eval=5, startoff=0,
+            use_egm_init=True, egm_n_iter=30000, egm_batches_per_eval=500,
+            verbose=1, save_format="txt"):
+        """Train with auxiliary U and the conditional prior
+        (identifiable.py:232-348).  Skips the incomplete last batch, as the
+        reference does."""
+        data = tuple(jnp.asarray(d, jnp.float32) for d in data)
+        data_x, data_y, data_v = data
+        n = data_x.shape[0]
+        cfg = self.cfg
+
+        print(f"Generating auxiliary variable U for {self.params['n_segments']} segments.")
+        data_u = self._sample_u(n)
+        self.data_u = data_u
+
+        if self.params["save_res"]:
+            with open(f"{self.save_dir}/params.txt", "w") as f:
+                f.write(str(self.params))
+
+        if use_egm_init:
+            self.egm_init(data, egm_n_iter=egm_n_iter, batch_size=batch_size,
+                          egm_batches_per_eval=egm_batches_per_eval, verbose=verbose)
+            print("Initialize latent variables Z with e(V)...")
+            z_init = cb._apply(cfg, self.nets["e"], data_v, self._next_key())
+        else:
+            print("Random initialization of latent variables Z...")
+            z_init = jax.random.normal(self._next_key(), (n, sum(cfg.z_dims)))
+
+        self.data_z = z_init
+        z_opt = optim.table_adam_init(self.data_z)
+        n_full = n // batch_size
+
+        step = partial(_ivae_train_batch_step, cfg, float(self.params["kl_weight"]))
+
+        @jax.jit
+        def epoch_fn(carry, idx_matrix):
+            carry, losses = jax.lax.scan(
+                lambda c, idx: step(c, idx, data, data_u), carry, idx_matrix)
+            return carry, {k: v[-1] for k, v in losses.items()}
+
+        best_loss = np.inf
+        print("Iterative Updating Starts ...")
+        from tqdm import tqdm
+
+        carry = (self.nets, self.opts, self.prior_net, self._prior_opt,
+                 self.data_z, z_opt, self._next_key())
+        for epoch in tqdm(range(epochs + 1), desc="Epochs", unit="epoch", disable=not verbose):
+            perm = np.random.permutation(n)
+            idx_matrix = jnp.asarray(perm[: n_full * batch_size].reshape(n_full, batch_size))
+            carry, losses = epoch_fn(carry, idx_matrix)
+
+            if epoch % epochs_per_eval == 0:
+                (self.nets, self.opts, self.prior_net, self._prior_opt,
+                 self.data_z, z_opt, self._key) = carry
+                causal_pre, mse_x, mse_y, mse_v, *_ = self.evaluate(data, self.data_z)
+                causal_pre = np.asarray(causal_pre)
+                mse_y = float(mse_y)
+                if verbose:
+                    print("Epoch [%d/%d]: MSE_x: %.4f, MSE_y: %.4f, MSE_v: %.4f\n"
+                          % (epoch, epochs, float(mse_x), mse_y, float(mse_v)))
+                if epoch >= startoff and mse_y < best_loss:
+                    best_loss = mse_y
+                    self.best_causal_pre = causal_pre
+                    self.best_epoch = epoch
+                    if self.params["save_model"]:
+                        from bayesgm_tpu.utils import checkpoint as ckpt_lib
+
+                        path = ckpt_lib.save_checkpoint(
+                            self.checkpoint_path, epoch,
+                            {"nets": self.nets, "prior_net": self.prior_net})
+                        print(f"Saving checkpoint for epoch {epoch} at {path}")
+                if self.params["save_res"]:
+                    save_data(f"{self.save_dir}/causal_pre_at_{epoch}.{save_format}", causal_pre)
+
+        (self.nets, self.opts, self.prior_net, self._prior_opt,
+         self.data_z, z_opt, self._key) = carry
+
+    def evaluate(self, data, data_z=None, nb_intervals=200):
+        """7-tuple: (causal_pre, mse_x, mse_y, mse_v, x_pred, y_pred, v_pred)."""
+        data = tuple(jnp.asarray(d, jnp.float32) for d in data)
+        eval_fn = jax.jit(partial(_ivae_evaluate, self.cfg, nb_intervals=nb_intervals))
+        return eval_fn(self.nets, data, data_z, self._next_key())
+
+    def get_log_posterior(self, data_x, data_y, data_v, data_z, data_u, key=None):
+        """log p(z | x, y, v, u) with the conditional prior
+        (identifiable.py:504-556)."""
+        if key is None:
+            key = self._next_key()
+        k_lik, k_prior = jax.random.split(key)
+        x, y, v, z, u = [jnp.asarray(a, jnp.float32)
+                         for a in (data_x, data_y, data_v, data_z, data_u)]
+        rows = cb._neg_log_posterior_rows(self.cfg, self.nets, z, x, y, v, k_lik)
+        rows = rows - dist.standard_normal_neg_log_prior(z)
+        rows = rows + _conditional_prior_nll(self.cfg, self.prior_net, z, u, k_prior)
+        return -rows
+
+    def _log_prob_with_u(self, data, data_u):
+        cfg, nets, prior_net = self.cfg, self.nets, self.prior_net
+        x, y, v = data
+
+        def log_prob(z, key):
+            k_lik, k_prior = jax.random.split(key)
+            rows = cb._neg_log_posterior_rows(cfg, nets, z, x, y, v, k_lik)
+            rows = rows - dist.standard_normal_neg_log_prior(z)
+            rows = rows + _conditional_prior_nll(cfg, prior_net, z, u=data_u, key=k_prior)
+            return -rows
+
+        return log_prob
+
+    def metropolis_hastings_sampler(self, data, initial_q_sd=1.0, q_sd=None, burn_in=5000,
+                                    n_keep=3000, target_acceptance_rate=0.25, tolerance=0.05,
+                                    adjustment_interval=50, adaptive_sd=None, window_size=100):
+        """Adaptive MH over the conditional-prior posterior; generates a fresh
+        U for the test subjects (identifiable.py:559-616).
+
+        Returns ``(samples (n_keep, n, z_dim), data_u (n, n_segments))``.
+        """
+        data = tuple(jnp.asarray(a, jnp.float32) for a in data)
+        n = data[0].shape[0]
+        data_u = self._sample_u(n)
+        if adaptive_sd is None:
+            adaptive_sd = q_sd is None or q_sd <= 0
+        q0 = initial_q_sd if adaptive_sd else q_sd
+
+        init = jax.random.normal(self._next_key(), (n, sum(self.cfg.z_dims)))
+        res = mcmc.adaptive_mh(
+            self._log_prob_with_u(data, data_u), init, self._next_key(),
+            burn_in=burn_in, n_keep=n_keep, q_sd=float(q0), adaptive=bool(adaptive_sd),
+            target_rate=target_acceptance_rate, tolerance=tolerance,
+            adjustment_interval=adjustment_interval, window_size=window_size,
+            recompute_current=self.cfg.use_bnn)
+        print(f"Final MCMC Acceptance Rate: {float(res.accept_rate):.4f}")
+        return np.asarray(res.samples), np.asarray(data_u)
+
+    def predict(self, data, alpha=0.01, n_mcmc=3000, burn_in=5000, x_values=None,
+                q_sd=1.0, sample_y=True, bs=10000):
+        """Same interface as :meth:`CausalBGM.predict`, with the conditional
+        prior in the chain (identifiable.py:350-420; ``burn_in`` is forwarded,
+        fixing the reference's dropped-kwarg bug)."""
+        assert 0 < alpha < 1, "The significance level 'alpha' must be greater than 0 and less than 1."
+        cfg = self.cfg
+        if not cfg.binary_treatment and x_values is None:
+            raise ValueError("For continuous treatment, 'x_values' must not be None.")
+        if x_values is not None:
+            x_values = np.atleast_1d(np.asarray(x_values, dtype=float))
+
+        data_x, data_y, data_v = [np.asarray(a, np.float32) for a in data]
+        n_test = len(data_x)
+        bs = max(1, int(bs))
+        adaptive = q_sd is None or q_sd <= 0
+        q0 = 1.0 if adaptive else float(q_sd)
+        collect = cb._effect_collector(cfg, self.nets, x_values, sample_y)
+        print("MCMC Latent Variable Sampling ...")
+
+        def run_batch(bx, by, bv):
+            batch = tuple(jnp.asarray(a) for a in (bx, by, bv))
+            data_u = self._sample_u(batch[0].shape[0])
+            init = jax.random.normal(self._next_key(), (batch[0].shape[0], sum(cfg.z_dims)))
+            res = mcmc.adaptive_mh(
+                self._log_prob_with_u(batch, data_u), init, self._next_key(),
+                burn_in=burn_in, n_keep=n_mcmc, q_sd=q0, adaptive=adaptive,
+                recompute_current=cfg.use_bnn, collect=collect)
+            print(f"Final MCMC Acceptance Rate: {float(res.accept_rate):.4f}")
+            return np.asarray(res.samples)
+
+        if cfg.binary_treatment:
+            ite_mean = np.zeros(n_test, np.float32)
+            upper = np.zeros(n_test, np.float32)
+            lower = np.zeros(n_test, np.float32)
+            for start in range(0, n_test, bs):
+                end = min(start + bs, n_test)
+                effects = run_batch(data_x[start:end], data_y[start:end], data_v[start:end])
+                ite_mean[start:end] = effects.mean(axis=0)
+                upper[start:end] = np.quantile(effects, 1 - alpha / 2, axis=0)
+                lower[start:end] = np.quantile(effects, alpha / 2, axis=0)
+            return ite_mean, np.stack([lower, upper], axis=1)
+
+        adrf_sums = np.zeros((len(x_values), n_mcmc), np.float32)
+        n_seen = 0
+        for start in range(0, n_test, bs):
+            end = min(start + bs, n_test)
+            effects = run_batch(data_x[start:end], data_y[start:end], data_v[start:end])
+            adrf_sums += effects.T * (end - start)
+            n_seen += end - start
+        causal_effects = adrf_sums / float(n_seen)
+        adrf = causal_effects.mean(axis=1)
+        upper = np.quantile(causal_effects, 1 - alpha / 2, axis=1)
+        lower = np.quantile(causal_effects, alpha / 2, axis=1)
+        return adrf, np.stack([lower, upper], axis=1)

@@ -1,0 +1,121 @@
+"""Research driver: run a recipe from configs/*.yaml (reference src/main.py).
+
+Branches on ``dataset`` in the YAML config:
+- Sim_Hirano_Imbens / Semi_acic -> CausalBGM fit + ADRF/ATE predict
+- Sim_heteroskedastic / Sim_low_rank -> BGM fit + NaN imputation eval
+- MNIST -> MNISTBGM fit + inpainting eval
+
+Usage: python main.py -c configs/Sim_Hirano_Imbens.yaml [-e EPOCHS] [-b EGM_ITERS]
+"""
+
+import argparse
+
+import numpy as np
+import yaml
+
+
+def run_causal(params, epochs, egm_iters):
+    from bayesgm_tpu.datasets import Semi_acic_sampler, Sim_Hirano_Imbens_sampler
+    from bayesgm_tpu.models.causalbgm import CausalBGM
+
+    if params["dataset"] == "Sim_Hirano_Imbens":
+        x, y, v = Sim_Hirano_Imbens_sampler(N=20000, v_dim=200).load_all()
+    else:
+        x, y, v = Semi_acic_sampler(ufid="629e3d2c63914e45b227cc913c09cebe").load_all()
+
+    model = CausalBGM(params=params, random_seed=None)
+    model.fit(data=(x, y, v), epochs=epochs, epochs_per_eval=10, use_egm_init=True,
+              egm_n_iter=egm_iters, egm_batches_per_eval=500, verbose=1)
+
+    if params.get("binary_treatment"):
+        causal_pre, pos_intervals = model.predict(
+            data=(x, y, v), alpha=0.01, n_mcmc=3000, burn_in=5000, q_sd=1.0)
+        print("ATE estimate:", float(np.mean(causal_pre)))
+    else:
+        causal_pre, pos_intervals = model.predict(
+            data=(x, y, v), alpha=0.01, n_mcmc=3000, burn_in=5000,
+            x_values=np.linspace(0, 3, 20), q_sd=1.0)
+        from bayesgm_tpu.utils import get_ADRF
+
+        true = get_ADRF(x_values=np.linspace(0, 3, 20), dataset="Imbens")
+        rmse = float(np.sqrt(np.mean((causal_pre - true) ** 2)))
+        mape = float(np.mean(np.abs((causal_pre - true) / true)))
+        print(f"ADRF RMSE: {rmse:.4f}  MAPE: {mape:.4f}")
+    return causal_pre, pos_intervals
+
+
+def run_bgm(params, epochs, egm_iters):
+    from bayesgm_tpu.datasets import simulate_low_rank_data, simulate_z_hetero
+    from bayesgm_tpu.models.bgm import BGM
+
+    if params["dataset"] == "Sim_low_rank":
+        data, _ = simulate_low_rank_data(n_samples=10000, z_dim=params["z_dim"],
+                                         x_dim=params["x_dim"])
+    else:
+        X, Y = simulate_z_hetero(n=20000, k=3, d=params["x_dim"] - 1)
+        data = np.hstack([Y.reshape(-1, 1), X]).astype("float32")
+
+    model = BGM(params=params, random_seed=123)
+    model.fit(data=data, epochs=epochs, epochs_per_eval=10, use_egm_init=True,
+              egm_n_iter=egm_iters, egm_batches_per_eval=500, verbose=1)
+
+    # Imputation eval: hide the first column of a held-out slice, recover it.
+    test = np.array(data[:1000])
+    truth = test[:, 0].copy()
+    test[:, 0] = np.nan
+    imputed, intervals = model.predict(test, alpha=0.05, n_mcmc=3000, burn_in=3000)
+    rmse = float(np.sqrt(np.mean((imputed[:, 0] - truth) ** 2)))
+    corr = float(np.corrcoef(imputed[:, 0], truth)[0, 1])
+    covered = np.mean((intervals[:, 0, 0] <= truth) & (truth <= intervals[:, 0, 1]))
+    print(f"Imputation RMSE: {rmse:.4f}  corr: {corr:.4f}  95%-interval coverage: {covered:.3f}")
+    return imputed, intervals
+
+
+def run_mnist(params, epochs, egm_iters):
+    from bayesgm_tpu.models.mnist import MNISTBGM
+    from bayesgm_tpu.utils import mnist_mask_indices
+
+    try:
+        from tensorflow.keras.datasets import mnist as tf_mnist  # optional
+
+        (x_train, _), _ = tf_mnist.load_data()
+        data = (x_train.astype("float32") / 255.0 > 0.5).astype("float32")[..., None]
+    except Exception:
+        print("MNIST download unavailable; using random binary images.")
+        rng = np.random.RandomState(0)
+        data = (rng.rand(2048, 28, 28, 1) > 0.5).astype("float32")
+
+    model = MNISTBGM(params=params, random_seed=123)
+    model.fit(data=data, epochs=epochs, epochs_per_eval=10, use_egm_init=True,
+              egm_n_iter=egm_iters, egm_batches_per_eval=500, verbose=1)
+
+    obs, miss = mnist_mask_indices(mode="lower_half")
+    test = np.array(data[:64]).reshape(64, -1)
+    truth = test[:, miss].copy()
+    test[:, miss] = np.nan
+    imputed, _ = model.predict(test.reshape(64, 28, 28, 1), alpha=0.05,
+                               n_mcmc=2000, burn_in=2000)
+    err = float(np.mean(np.abs(imputed.reshape(64, -1)[:, miss] - truth)))
+    print(f"Inpainting mean pixel error: {err:.4f}")
+    return imputed
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", type=str, required=True, help="path to config file")
+    parser.add_argument("-e", "--epochs", type=int, default=100)
+    parser.add_argument("-b", "--batches", type=int, default=30000, help="EGM iterations")
+    args = parser.parse_args()
+
+    with open(args.config) as f:
+        params = yaml.safe_load(f)
+
+    dataset = params["dataset"]
+    if dataset in ("Sim_Hirano_Imbens", "Semi_acic", "Sim_Sun", "Sim_Colangelo", "Semi_Twins"):
+        run_causal(params, args.epochs, args.batches)
+    elif dataset in ("Sim_heteroskedastic", "Sim_low_rank"):
+        run_bgm(params, args.epochs, args.batches)
+    elif dataset == "MNIST":
+        run_mnist(params, args.epochs, args.batches)
+    else:
+        raise ValueError(f"Unknown dataset {dataset}")

@@ -1,0 +1,3 @@
+library(testthat)
+library(bayesgm)
+test_check("bayesgm")
