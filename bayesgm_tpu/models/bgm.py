@@ -312,10 +312,16 @@ class BGM:
         print("EGM Initialization Starts ...")
         carry = (self.nets, self.g_state, self._opt_d, self._opt_ge)
         done, total = 0, egm_n_iter + 1
+        inner = 500  # fixed inner scan length -> stable compiled program
         while done < total:
-            n_iters = min(egm_batches_per_eval, total - done)
-            carry, losses = chunk(carry, self._next_key(), batch_size=batch_size, n_iters=n_iters)
-            done += n_iters
+            n_eval = min(egm_batches_per_eval, total - done)
+            remaining = n_eval
+            losses = None
+            while remaining > 0:
+                n_iters = min(inner, remaining)
+                carry, losses = chunk(carry, self._next_key(), batch_size=batch_size, n_iters=n_iters)
+                remaining -= n_iters
+            done += n_eval
             self.nets, self.g_state, self._opt_d, self._opt_ge = carry
             losses = {k: float(v) for k, v in losses.items()}
             if verbose:

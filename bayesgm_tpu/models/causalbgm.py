@@ -507,16 +507,26 @@ class CausalBGM:
         data = tuple(jnp.asarray(d, jnp.float32) for d in data)
         cfg = self.cfg
 
-        chunk = jax.jit(partial(self._egm_chunk, cfg), static_argnames=("batch_size", "n_iters"))
+        chunk = self._jit_cache(
+            "egm_chunk",
+            lambda: jax.jit(partial(self._egm_chunk, cfg), static_argnames=("batch_size", "n_iters")))
         print("EGM Initialization Starts ...")
         carry = (self.nets, self._opt_d, self._opt_ge)
         done = 0
         total = egm_n_iter + 1
+        # Fixed inner scan length so the compiled program is independent of
+        # egm_batches_per_eval (and hits the persistent compilation cache).
+        inner = 500
         while done < total:
-            n_iters = min(egm_batches_per_eval, total - done)
-            carry, losses = chunk(carry, data, self._next_key(),
-                                  batch_size=batch_size, n_iters=n_iters)
-            done += n_iters
+            n_eval = min(egm_batches_per_eval, total - done)
+            remaining = n_eval
+            losses = None
+            while remaining > 0:
+                n_iters = min(inner, remaining)
+                carry, losses = chunk(carry, data, self._next_key(),
+                                      batch_size=batch_size, n_iters=n_iters)
+                remaining -= n_iters
+            done += n_eval
             losses = {k: float(val) for k, val in losses.items()}
             if verbose:
                 print(
@@ -623,9 +633,20 @@ class CausalBGM:
         """Reconstruction MSEs + in-sample ITE/ADRF (reference evaluate,
         base.py:534-570)."""
         data = tuple(jnp.asarray(d, jnp.float32) for d in data)
-        eval_fn = jax.jit(partial(_evaluate, self.cfg, nb_intervals=nb_intervals),
-                          static_argnames=())
+        eval_fn = self._jit_cache(
+            ("evaluate", nb_intervals),
+            lambda: jax.jit(partial(_evaluate, self.cfg, nb_intervals=nb_intervals)))
         return eval_fn(self.nets, data, data_z, self._next_key())
+
+    def _jit_cache(self, key, build):
+        """Per-instance cache of jitted callables (a fresh jax.jit object per
+        call would retrace every time)."""
+        cache = getattr(self, "_jitted", None)
+        if cache is None:
+            cache = self._jitted = {}
+        if key not in cache:
+            cache[key] = build()
+        return cache[key]
 
     # -- Posterior inference ---------------------------------------------------
 
@@ -636,6 +657,34 @@ class CausalBGM:
             key = self._next_key()
         args = [jnp.asarray(a, jnp.float32) for a in (data_x, data_y, data_v, data_z)]
         return -_neg_log_posterior_rows(self.cfg, self.nets, args[3], args[0], args[1], args[2], key)
+
+    def _make_log_prob(self, data_x, data_y, data_v):
+        """MH log-target over Z.  Non-Bayesian nets on TPU use the fully
+        fused Pallas kernel (ops/pallas_kernels.py, ~1.7x the XLA path);
+        flipout nets and CPU runs fall back to the XLA composite."""
+        cfg, nets = self.cfg, self.nets
+        if not cfg.use_bnn:
+            from bayesgm_tpu.ops import pallas_kernels as pk
+
+            try:
+                fused = pk.make_fused_causal_logp(
+                    cfg, pk.mlp_layer_dims(nets["g"]), pk.mlp_layer_dims(nets["h"]),
+                    pk.mlp_layer_dims(nets["f"]))
+                gf = pk.flatten_mlp_params(nets["g"])
+                hf = pk.flatten_mlp_params(nets["h"])
+                ff = pk.flatten_mlp_params(nets["f"])
+
+                def log_prob(z, key):
+                    return -fused(z, data_x, data_y, data_v, gf, hf, ff)
+
+                return log_prob
+            except Exception:  # pragma: no cover - pallas unavailable
+                pass
+
+        def log_prob(z, key):
+            return -_neg_log_posterior_rows(cfg, nets, z, data_x, data_y, data_v, key)
+
+        return log_prob
 
     def metropolis_hastings_sampler(self, data, initial_q_sd=1.0, q_sd=None, burn_in=5000,
                                     n_keep=3000, target_acceptance_rate=0.25, tolerance=0.05,
@@ -648,9 +697,7 @@ class CausalBGM:
             adaptive_sd = q_sd is None or q_sd <= 0
         q0 = initial_q_sd if adaptive_sd else q_sd
 
-        def log_prob(z, key):
-            return -_neg_log_posterior_rows(cfg, nets, z, data_x, data_y, data_v, key)
-
+        log_prob = self._make_log_prob(data_x, data_y, data_v)
         init = jax.random.normal(self._next_key(), (data_x.shape[0], sum(cfg.z_dims)))
         res = mcmc.adaptive_mh(
             log_prob, init, self._next_key(), burn_in=burn_in, n_keep=n_keep,
@@ -668,7 +715,7 @@ class CausalBGM:
         z_draws = jnp.asarray(data_posterior_z, jnp.float32)
         collect = _effect_collector(self.cfg, self.nets, x_values, sample_y)
         keys = jax.random.split(self._next_key(), z_draws.shape[0])
-        out = jax.jit(jax.vmap(collect))(z_draws, keys)  # (n_keep, stat)
+        out = jax.vmap(collect)(z_draws, keys)  # (n_keep, stat)
         if self.cfg.binary_treatment:
             return np.asarray(out)
         return np.asarray(out).T  # (len(x_values), n_keep)
@@ -705,10 +752,7 @@ class CausalBGM:
 
         def run_batch(bx, by, bv):
             bx, by, bv = jnp.asarray(bx), jnp.asarray(by), jnp.asarray(bv)
-
-            def log_prob(z, key):
-                return -_neg_log_posterior_rows(cfg, nets, z, bx, by, bv, key)
-
+            log_prob = self._make_log_prob(bx, by, bv)
             init = jax.random.normal(self._next_key(), (bx.shape[0], sum(cfg.z_dims)))
             res = mcmc.adaptive_mh(
                 log_prob, init, self._next_key(), burn_in=burn_in, n_keep=n_mcmc,

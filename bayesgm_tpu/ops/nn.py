@@ -330,6 +330,15 @@ def flipout_mlp_kl(net, prior_scale: float = 1.0, bias_prior_scale: float | None
     return sum(flipout_dense_kl(p, prior_scale, bias_prior_scale) for p in net["layers"])
 
 
+def flipout_mlp_mean_apply(net, x):
+    """Deterministic forward through the posterior means (no weight noise)."""
+    x, _ = batchnorm_apply(net["norm"], x)
+    for p in net["layers"][:-1]:
+        x = leaky_relu(jnp.dot(x, p["loc"], preferred_element_type=jnp.float32) + p["b"])
+    p = net["layers"][-1]
+    return jnp.dot(x, p["loc"], preferred_element_type=jnp.float32) + p["b"]
+
+
 # ---------------------------------------------------------------------------
 # Flipout variational MLP (== BayesianVariationalNet, networks/bnn.py:40-99)
 # N(0, 0.1) kernel/bias priors, mean + softplus-variance heads.
