@@ -88,6 +88,18 @@ def batchnorm_apply(params, x, state=None, train: bool = True):
     return y, new_state
 
 
+def frozen_batchnorm_apply(params, x):
+    """Inference-mode BatchNorm with frozen (0, 1) moving statistics — a
+    learnable affine.  This reproduces the reference's
+    ``BayesianFullyConnectedNet`` input norm, which is invoked without a
+    training flag (bnn.py:27): Keras then uses the never-updated moving
+    averages, so only gamma/beta act.  True batch statistics here would strip
+    the absolute location/scale of the inputs per mini-batch, which destroys
+    the latent signal the h/f nets condition on.
+    """
+    return x * params["gamma"] * jax.lax.rsqrt(jnp.asarray(1.0 + BN_EPS)) + params["beta"]
+
+
 # ---------------------------------------------------------------------------
 # Plain MLP (== BaseFullyConnectedNet, networks/base.py:4-51)
 # ---------------------------------------------------------------------------
@@ -105,13 +117,18 @@ def init_mlp(key, input_dim: int, output_dim: int, hidden: Sequence[int], batchn
 
 
 def mlp_apply(net, x):
-    """LeakyReLU MLP; linear final layer.  Batch-stat BN when present."""
+    """LeakyReLU MLP; linear final layer.
+
+    Optional per-layer norms run in frozen (inference) mode: the reference
+    invokes BatchNorm without a training flag (networks/base.py:44), which in
+    Keras resolves to the never-updated moving statistics — effectively a
+    learnable affine."""
     layers = net["layers"]
     bns = net.get("bn")
     for i, p in enumerate(layers[:-1]):
         x = dense_apply(p, x)
         if bns is not None:
-            x, _ = batchnorm_apply(bns[i], x)
+            x = frozen_batchnorm_apply(bns[i], x)
         x = leaky_relu(x)
     return dense_apply(layers[-1], x)
 
@@ -141,13 +158,17 @@ def init_critic(key, input_dim: int, hidden: Sequence[int], batchnorm: bool = Tr
 
 
 def critic_apply(net, x):
-    """tanh-activated critic with optional batch-stat BN, scalar logit out."""
+    """tanh-activated critic, scalar logit out.
+
+    The optional norms run frozen (learnable affine): the reference
+    Discriminator invokes BatchNorm without a training flag
+    (networks/base.py:379), so moving stats stay at (0, 1)."""
     layers = net["layers"]
     bns = net.get("bn")
     for i, p in enumerate(layers[:-1]):
         x = dense_apply(p, x)
         if bns is not None:
-            x, _ = batchnorm_apply(bns[i], x)
+            x = frozen_batchnorm_apply(bns[i], x)
         x = jnp.tanh(x)
     return dense_apply(layers[-1], x)
 
@@ -212,17 +233,19 @@ def init_lowrank_variational_mlp(key, input_dim: int, output_dim: int, hidden: S
 
 
 def lowrank_variational_mlp_apply(params, x, meta, state=None, train: bool = True, eps: float = 1e-6):
-    """Returns ``(mean, var_diag, U, new_state)``; U has shape (batch, p, rank)."""
-    bn_state = None if state is None else state["norm"]
-    x, new_bn = batchnorm_apply(params["norm"], x, bn_state, train=train)
+    """Returns ``(mean, var_diag, U, new_state)``; U has shape (batch, p, rank).
+
+    The input norm runs in frozen (inference) mode — the reference invokes it
+    without a training flag (networks/base.py:181), so only gamma/beta act.
+    """
+    x = frozen_batchnorm_apply(params["norm"], x)
     for p in params["layers"]:
         x = leaky_relu(dense_apply(p, x))
     mean = dense_apply(params["mean"], x)
     var_diag = jax.nn.softplus(dense_apply(params["var"], x)) + eps
     u_flat = dense_apply(params["lowrank"], x)
     u = u_flat.reshape(-1, meta["output_dim"], meta["rank"])
-    new_state = None if state is None else {"norm": new_bn}
-    return mean, var_diag, u, new_state
+    return mean, var_diag, u, state
 
 
 def lowrank_reparameterize(key, mean, var_diag, u):
@@ -319,7 +342,7 @@ def init_flipout_mlp(key, input_dim: int, output_dim: int, hidden: Sequence[int]
 
 
 def flipout_mlp_apply(net, x, key):
-    x, _ = batchnorm_apply(net["norm"], x)
+    x = frozen_batchnorm_apply(net["norm"], x)
     keys = jax.random.split(key, len(net["layers"]))
     for p, k in zip(net["layers"][:-1], keys[:-1]):
         x = leaky_relu(flipout_dense_apply(p, x, k))
@@ -332,7 +355,7 @@ def flipout_mlp_kl(net, prior_scale: float = 1.0, bias_prior_scale: float | None
 
 def flipout_mlp_mean_apply(net, x):
     """Deterministic forward through the posterior means (no weight noise)."""
-    x, _ = batchnorm_apply(net["norm"], x)
+    x = frozen_batchnorm_apply(net["norm"], x)
     for p in net["layers"][:-1]:
         x = leaky_relu(jnp.dot(x, p["loc"], preferred_element_type=jnp.float32) + p["b"])
     p = net["layers"][-1]
@@ -401,8 +424,9 @@ def init_flipout_lowrank_variational_mlp(key, input_dim, output_dim, hidden, ran
 
 
 def flipout_lowrank_variational_mlp_apply(params, x, key, meta, state=None, train=True, eps=1e-6):
-    bn_state = None if state is None else state["norm"]
-    x, new_bn = batchnorm_apply(params["norm"], x, bn_state, train=train)
+    # Frozen input norm: the reference invokes it without a training flag
+    # (bnn.py:187), so only gamma/beta act.
+    x = frozen_batchnorm_apply(params["norm"], x)
     keys = jax.random.split(key, len(params["layers"]) + 3)
     for p, k in zip(params["layers"], keys[:-3]):
         x = leaky_relu(flipout_dense_apply(p, x, k))
@@ -410,8 +434,7 @@ def flipout_lowrank_variational_mlp_apply(params, x, key, meta, state=None, trai
     var_diag = jax.nn.softplus(flipout_dense_apply(params["var"], x, keys[-2])) + eps
     u_flat = flipout_dense_apply(params["lowrank"], x, keys[-1])
     u = u_flat.reshape(-1, meta["output_dim"], meta["rank"])
-    new_state = None if state is None else {"norm": new_bn}
-    return mean, var_diag, u, new_state
+    return mean, var_diag, u, state
 
 
 def flipout_lowrank_variational_mlp_kl(params):

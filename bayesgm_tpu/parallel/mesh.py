@@ -13,6 +13,11 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
     """A 1-D mesh over the first ``n_devices`` devices (all by default)."""
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"make_mesh({n_devices}) but only {len(devices)} device(s) visible; "
+                "set XLA_FLAGS=--xla_force_host_platform_device_count=N and force the "
+                "cpu platform (jax.config.update('jax_platforms', 'cpu')) to emulate.")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
 

@@ -1,0 +1,80 @@
+"""Tests for the class-style network facade (reference-style API)."""
+
+import numpy as np
+import pytest
+
+from bayesgm_tpu.models import networks as N
+
+
+def test_base_fully_connected_net():
+    net = N.BaseFullyConnectedNet(input_dim=5, output_dim=3, nb_units=[8, 8])
+    out = net(np.zeros((4, 5), "float32"))
+    assert out.shape == (4, 3)
+
+
+def test_discriminator():
+    d = N.Discriminator(input_dim=4, nb_units=[8])
+    assert d(np.zeros((6, 4), "float32")).shape == (6, 1)
+
+
+def test_variational_net_and_reparameterize():
+    net = N.BaseVariationalNet(input_dim=4, output_dim=2, nb_units=[8])
+    mean, var = net(np.random.randn(5, 4).astype("float32"))
+    assert mean.shape == (5, 2) and bool((var > 0).all())
+    s = net.reparameterize(mean, var)
+    assert s.shape == (5, 2)
+
+
+def test_lowrank_net_and_transfer():
+    b = N.BayesianVariationalLowRankNet(input_dim=3, output_dim=4, nb_units=[8], rank=2)
+    mean, var, u = b(np.random.randn(5, 3).astype("float32"))
+    assert u.shape == (5, 4, 2)
+    assert float(b.kl_divergence()) > 0
+
+    det = N.BaseVariationalLowRankNet(input_dim=3, output_dim=4, nb_units=[8], rank=2)
+    det.transfer_weights_from_bayesian(b, method="mean")
+    # transferred deterministic weights == posterior means
+    np.testing.assert_allclose(np.asarray(det.params["layers"][0]["w"]),
+                               np.asarray(b.params["layers"][0]["loc"]))
+    with pytest.raises(ValueError):
+        det.transfer_weights_from_bayesian(b, method="bogus")
+
+
+def test_bayesian_net_stochastic():
+    net = N.BayesianFullyConnectedNet(input_dim=4, output_dim=2, nb_units=[8])
+    x = np.random.randn(5, 4).astype("float32")
+    o1, o2 = net(x), net(x)
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_mcmc_net_and_run_mcmc():
+    net = N.MCMCFullyConnectedNet(input_dim=2, output_dim=1, nb_units=[4])
+    x = np.random.RandomState(0).randn(30, 2).astype("float32")
+    y = (x[:, :1] + 0.05 * np.random.RandomState(1).randn(30, 1)).astype("float32")
+    # stateless call matches stateful
+    out1 = net(x)
+    out2 = net.call_with_weights(x, net.get_weights())
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-5)
+    assert np.isfinite(float(net.log_prior(net.get_weights())))
+
+    import jax.numpy as jnp
+
+    def likelihood(y_true, y_pred):
+        return -0.5 * jnp.sum((y_true - y_pred) ** 2) / 0.01
+
+    samples = N.run_mcmc_for_net(net, x, y, likelihood, num_samples=20, num_burnin_steps=20)
+    assert samples.shape == (20, net.get_weights().shape[0])
+    assert np.all(np.isfinite(samples))
+
+
+def test_mnist_conv_wrappers():
+    enc = N.MNISTEncoderConv(z_dim=4)
+    gen = N.MNISTGenerator(z_dim=4)
+    disc = N.MNISTDiscriminator(filters=8)
+    x = np.random.rand(2, 28, 28, 1).astype("float32")
+    z = enc(x)
+    assert z.shape == (2, 4)
+    mean, var = gen(np.asarray(z))
+    assert mean.shape == (2, 28, 28, 1) and bool((var > 0).all())
+    logits = disc(x)
+    assert logits.shape == (2, 1)

@@ -1,0 +1,108 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesgm_tpu.models import causalbgm as cb
+from bayesgm_tpu.ops import nn, optim
+from bayesgm_tpu.parallel import data_sharding, make_mesh, replicate, shard_rows
+from bayesgm_tpu.parallel.sharded import (
+    make_sharded_causal_train_step,
+    make_sharded_mh_predict,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = cb.CBGMConfig(v_dim=6, z_dims=(1, 1, 1, 2), binary_treatment=False,
+                        use_bnn=False, kl_weight=1e-4, sigma_v=None, sigma_x=None,
+                        sigma_y=None, use_z_rec=1.0, lr=2e-4, lr_theta=1e-4,
+                        lr_z=1e-4, g_d_freq=5)
+    keys = jax.random.split(jax.random.PRNGKey(0), 5)
+    nets = {
+        "g": nn.init_mlp(keys[0], 5, 7, [8, 8]),
+        "e": nn.init_mlp(keys[1], 6, 5, [8, 8]),
+        "f": nn.init_mlp(keys[2], 3, 2, [8]),
+        "h": nn.init_mlp(keys[3], 2, 2, [8]),
+        "dz": nn.init_critic(keys[4], 5, [8]),
+    }
+    rng = np.random.RandomState(0)
+    n = 64
+    data = (rng.rand(n, 1).astype("float32"), rng.randn(n, 1).astype("float32"),
+            rng.randn(n, 6).astype("float32"))
+    z = rng.randn(n, 5).astype("float32")
+    return cfg, nets, data, z
+
+
+def test_mesh_and_sharding_helpers():
+    mesh = make_mesh(8)
+    assert mesh.devices.size == 8
+    arr = shard_rows(np.zeros((16, 4), "float32"), mesh)
+    # row-sharded layout: each device holds 2 rows
+    assert arr.sharding.spec[0] == "data"
+    tree = replicate({"a": np.ones(3, "float32")}, mesh)
+    assert tree["a"].sharding.is_fully_replicated
+    s = data_sharding(mesh, ndim=3)
+    assert s.spec == jax.sharding.PartitionSpec("data", None, None)
+
+
+def test_sharded_train_step_matches_single_device(setup):
+    cfg, nets, data, z = setup
+    mesh = make_mesh(8)
+
+    def run(step_mesh):
+        nets_d = replicate(nets, step_mesh) if step_mesh else nets
+        opts = {
+            "g": optim.adam_init(nets["g"]),
+            "f": optim.adam_init(nets["f"]),
+            "h": optim.adam_init(nets["h"]),
+        }
+        z_opt = optim.TableAdamState(m=jnp.zeros_like(z), v=jnp.zeros_like(z),
+                                     t=jnp.zeros((), jnp.int32))
+        if step_mesh:
+            step = make_sharded_causal_train_step(cfg, step_mesh)
+            d = tuple(shard_rows(a, step_mesh) for a in data)
+            z_t = shard_rows(z, step_mesh)
+            z_opt = optim.TableAdamState(m=shard_rows(np.zeros_like(z), step_mesh),
+                                         v=shard_rows(np.zeros_like(z), step_mesh),
+                                         t=replicate(jnp.zeros((), jnp.int32), step_mesh))
+            opts = replicate(opts, step_mesh)
+        else:
+            from bayesgm_tpu.parallel import sharded as sh
+
+            mesh1 = make_mesh(1)
+            step = make_sharded_causal_train_step(cfg, mesh1)
+            d = tuple(shard_rows(a, mesh1) for a in data)
+            z_t = shard_rows(z, mesh1)
+            z_opt = optim.TableAdamState(m=shard_rows(np.zeros_like(z), mesh1),
+                                         v=shard_rows(np.zeros_like(z), mesh1),
+                                         t=replicate(jnp.zeros((), jnp.int32), mesh1))
+            opts = replicate(opts, mesh1)
+            nets_d = replicate(nets, mesh1)
+        out = step(nets_d, opts, z_t, z_opt, d, jax.random.PRNGKey(7))
+        return out
+
+    nets8, _, z8, _, losses8 = run(mesh)
+    nets1, _, z1, _, losses1 = run(None)
+
+    # identical math across mesh sizes (same PRNG key, pure data parallel)
+    for k in losses8:
+        np.testing.assert_allclose(float(losses8[k]), float(losses1[k]), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(z8), np.asarray(z1), rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(nets8["g"]["layers"][0]["w"]),
+                               np.asarray(nets1["g"]["layers"][0]["w"]), rtol=2e-3, atol=2e-6)
+
+
+def test_sharded_mh_predict(setup):
+    cfg, nets, data, z = setup
+    mesh = make_mesh(8)
+    data_sharded = tuple(shard_rows(a, mesh) for a in data)
+    run = make_sharded_mh_predict(cfg, mesh, replicate(nets, mesh), data_sharded,
+                                  x_values=[0.5, 1.0, 1.5])
+    res = run(jax.random.PRNGKey(0), burn_in=30, n_keep=20, q_sd=1.0)
+    effects = np.asarray(res.samples)
+    assert effects.shape == (20, 3)
+    assert np.all(np.isfinite(effects))
+    assert 0.0 <= float(res.accept_rate) <= 1.0
