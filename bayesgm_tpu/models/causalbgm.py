@@ -426,6 +426,9 @@ class CausalBGM:
             lr_z=float(p["lr_z"]),
             g_d_freq=int(p["g_d_freq"]),
         )
+        from bayesgm_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
         seed = 42 if random_seed is None else int(random_seed)
         self._key = jax.random.PRNGKey(seed)
         self._build_nets()

@@ -189,6 +189,9 @@ class MNISTBGM(BGM):
             kl_weight=float(p.get("kl_weight", 1.0 / 60000)), lr=float(p["lr"]),
             lr_theta=float(p["lr_theta"]), lr_z=float(p["lr_z"]),
             gamma=float(p["gamma"]), alpha=float(p["alpha"]), g_d_freq=int(p["g_d_freq"]))
+        from bayesgm_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
         seed = 42 if random_seed is None else int(random_seed)
         self._key = jax.random.PRNGKey(seed)
 
