@@ -4,19 +4,26 @@ TPU-native replacements for the reference samplers:
 
 - :func:`adaptive_mh` replaces the host-side Metropolis–Hastings loop
   (causalbgm/base.py:820-904), which ping-pongs numpy proposals and TF
-  log-posterior calls twice per step.  Here the whole chain — proposal,
+  log-posterior calls twice per step.  Here the chain — proposal,
   accept/reject, sliding-window acceptance tracking, and the adaptive
-  proposal-sd schedule — runs on device in one scan; all ``n`` subjects are
-  independent chains vectorized along axis 0.
+  proposal-sd schedule — runs on device; all ``n`` subjects are independent
+  chains vectorized along axis 0.
 
 - :func:`hmc` replaces ``tfp.mcmc.HamiltonianMonteCarlo`` +
   ``SimpleStepSizeAdaptation`` (bgm/base.py:798-824, networks/base.py:476-498):
-  leapfrog integration under ``lax.scan`` with a scalar step size adapted
-  toward a target acceptance probability during burn-in.
+  leapfrog integration with a scalar step size adapted toward a target
+  acceptance probability during burn-in.
 
 Both support a ``collect`` function so that posterior *functionals* (e.g. ITE
 draws or ADRF grid means) can be accumulated per kept step instead of
 materializing the full ``(n_keep, n, z_dim)`` sample cube in HBM.
+
+Execution model: the chain is driven as a host loop over fixed-length jitted
+scan chunks (default 500 steps).  One compiled program is reused for every
+chunk; the host overhead is microseconds per chunk.  Bounding the duration of
+a single XLA program matters on TPU runtimes with program watchdogs — a
+monolithic multi-thousand-step jitted chain can run long enough that the
+worker is killed mid-program (observed on the v5e "axon" runtime).
 
 Adaptation schedules intentionally reproduce the reference's:
 MH multiplies q_sd by 0.9/1.1 every ``adjustment_interval`` burn-in steps when
@@ -32,6 +39,8 @@ from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+
+CHUNK = 500  # steps per jitted scan segment
 
 
 class MHResult(NamedTuple):
@@ -74,12 +83,9 @@ def _mh_step(carry, key, log_prob_fn, q_sd_is_adaptive, burn_in,
     do_adjust = q_sd_is_adaptive & (t < burn_in) & (t % adjustment_interval == 0) & (t > 0)
     q_sd = jnp.where(do_adjust, adjust(q_sd), q_sd)
 
-    return (new_state, new_logp, q_sd, window, t + 1), (new_state, rate)
+    return (new_state, new_logp, q_sd, window, t + 1), rate
 
 
-@partial(jax.jit, static_argnames=(
-    "log_prob_fn", "burn_in", "n_keep", "adaptive", "target_rate", "tolerance",
-    "adjustment_interval", "window_size", "recompute_current", "collect"))
 def adaptive_mh(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000,
                 n_keep: int = 3000, q_sd: float = 1.0, adaptive: bool = True,
                 target_rate: float = 0.25, tolerance: float = 0.05,
@@ -102,7 +108,7 @@ def adaptive_mh(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000,
     -------
     MHResult with ``samples`` stacked along the leading (n_keep) axis.
     """
-    k_init, k_scan = jax.random.split(key)
+    k_init, key = jax.random.split(key)
     logp0 = log_prob_fn(init_state, k_init)
 
     step = partial(
@@ -111,24 +117,52 @@ def adaptive_mh(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000,
         adjustment_interval=adjustment_interval, window_size=window_size,
         recompute_current=recompute_current)
 
+    @partial(jax.jit, static_argnames=("n_steps",))
+    def burn_chunk(carry, chunk_key, n_steps):
+        keys = jax.random.split(chunk_key, n_steps)
+        carry, rates = jax.lax.scan(lambda c, k: step(c, k), carry, keys)
+        return carry, rates[-1]
+
+    collect_fn = (lambda s, k: s) if collect is None else collect
+
+    @partial(jax.jit, static_argnames=("n_steps",))
+    def keep_chunk(carry, chunk_key, n_steps):
+        keys = jax.random.split(chunk_key, n_steps)
+
+        def body(c, k):
+            k_mh, k_col = jax.random.split(k)
+            new_c, rate = step(c, k_mh)
+            return new_c, (collect_fn(new_c[0], k_col), rate)
+
+        carry, (samples, rates) = jax.lax.scan(body, carry, keys)
+        return carry, samples, rates[-1]
+
     window = jnp.zeros((window_size,), jnp.float32)
-    carry = (init_state, logp0, jnp.asarray(q_sd, jnp.float32), window, jnp.asarray(0, jnp.int32))
+    carry = (init_state, logp0, jnp.asarray(q_sd, jnp.float32), window,
+             jnp.asarray(0, jnp.int32))
 
     # Phase 1: burn-in (adaptation active, nothing collected).
-    keys_burn = jax.random.split(k_scan, burn_in + 1)
-    carry, _ = jax.lax.scan(lambda c, k: (step(c, k)[0], None), carry, keys_burn[:-1])
+    rate = jnp.asarray(0.0)
+    done = 0
+    while done < burn_in:
+        n_steps = min(CHUNK, burn_in - done)
+        key, k_chunk = jax.random.split(key)
+        carry, rate = burn_chunk(carry, k_chunk, n_steps=n_steps)
+        done += n_steps
 
     # Phase 2: sampling (no adaptation fires since t >= burn_in).
-    collect_fn = (lambda s, k: s) if collect is None else collect
-    keys_keep = jax.random.split(keys_burn[-1], n_keep)
+    chunks = []
+    done = 0
+    while done < n_keep:
+        n_steps = min(CHUNK, n_keep - done)
+        key, k_chunk = jax.random.split(key)
+        carry, samples, rate = keep_chunk(carry, k_chunk, n_steps=n_steps)
+        chunks.append(samples)
+        done += n_steps
 
-    def keep_step(c, k):
-        k_mh, k_col = jax.random.split(k)
-        new_c, (state, rate) = step(c, k_mh)
-        return new_c, (collect_fn(state, k_col), rate)
-
-    carry, (samples, rates) = jax.lax.scan(keep_step, carry, keys_keep)
-    return MHResult(samples=samples, q_sd=carry[2], accept_rate=rates[-1])
+    stacked = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *chunks) \
+        if len(chunks) > 1 else chunks[0]
+    return MHResult(samples=stacked, q_sd=carry[2], accept_rate=rate)
 
 
 # ---------------------------------------------------------------------------
@@ -156,7 +190,7 @@ def _leapfrog(grad_fn, state, momentum, step_size, num_steps, key):
 
 
 def _hmc_step(carry, key, log_prob_fn, grad_fn, num_leapfrog, target_accept,
-              adapt, adaptation_rate=0.01):
+              n_adapt, adaptation_rate=0.01):
     state, logp, step_size, t = carry
     k_mom, k_unif, k_lp, k_grad = jax.random.split(key, 4)
 
@@ -180,14 +214,11 @@ def _hmc_step(carry, key, log_prob_fn, grad_fn, num_leapfrog, target_accept,
         step_size * (1.0 + adaptation_rate),
         step_size / (1.0 + adaptation_rate),
     )
-    step_size = jnp.where(adapt(t), new_step, step_size)
+    step_size = jnp.where(t < n_adapt, new_step, step_size)
 
-    return (state, logp, step_size, t + 1), (state, jnp.mean(accept.astype(jnp.float32)))
+    return (state, logp, step_size, t + 1), (accept, jnp.mean(accept.astype(jnp.float32)))
 
 
-@partial(jax.jit, static_argnames=(
-    "log_prob_fn", "burn_in", "n_keep", "num_leapfrog", "target_accept",
-    "adapt_fraction", "collect"))
 def hmc(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000,
         n_keep: int = 3000, step_size: float = 0.01, num_leapfrog: int = 10,
         target_accept: float = 0.75, adapt_fraction: float = 0.8,
@@ -199,24 +230,59 @@ def hmc(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000,
     """
     grad_fn = jax.grad(lambda s, k: jnp.sum(log_prob_fn(s, k)))
     n_adapt = int(burn_in * adapt_fraction)
-    k_init, k_scan = jax.random.split(key)
+    k_init, key = jax.random.split(key)
     logp0 = log_prob_fn(init_state, k_init)
 
     step = partial(_hmc_step, log_prob_fn=log_prob_fn, grad_fn=grad_fn,
                    num_leapfrog=num_leapfrog, target_accept=target_accept,
-                   adapt=lambda t: t < n_adapt)
+                   n_adapt=n_adapt)
 
-    carry = (init_state, logp0, jnp.asarray(step_size, jnp.float32), jnp.asarray(0, jnp.int32))
-    keys_burn = jax.random.split(k_scan, burn_in + 1)
-    carry, _ = jax.lax.scan(lambda c, k: (step(c, k)[0], None), carry, keys_burn[:-1])
+    # HMC does num_leapfrog gradient evals per step; keep chunks shorter so a
+    # single program stays well under TPU watchdog territory.
+    chunk = max(1, CHUNK // max(1, num_leapfrog // 2))
+
+    @partial(jax.jit, static_argnames=("n_steps",))
+    def burn_chunk(carry, chunk_key, n_steps):
+        keys = jax.random.split(chunk_key, n_steps)
+        carry, _ = jax.lax.scan(lambda c, k: (step(c, k)[0], None), carry, keys)
+        return carry
 
     collect_fn = (lambda s, k: s) if collect is None else collect
-    keys_keep = jax.random.split(keys_burn[-1], n_keep)
 
-    def keep_step(c, k):
-        k_hmc, k_col = jax.random.split(k)
-        new_c, (state, acc) = step(c, k_hmc)
-        return new_c, (collect_fn(state, k_col), acc)
+    @partial(jax.jit, static_argnames=("n_steps",))
+    def keep_chunk(carry, chunk_key, n_steps):
+        keys = jax.random.split(chunk_key, n_steps)
 
-    carry, (samples, accs) = jax.lax.scan(keep_step, carry, keys_keep)
-    return HMCResult(samples=samples, step_size=carry[2], accept_rate=jnp.mean(accs))
+        def body(c, k):
+            k_hmc, k_col = jax.random.split(k)
+            new_c, (_, acc_frac) = step(c, k_hmc)
+            return new_c, (collect_fn(new_c[0], k_col), acc_frac)
+
+        carry, (samples, accs) = jax.lax.scan(body, carry, keys)
+        return carry, samples, jnp.sum(accs)
+
+    carry = (init_state, logp0, jnp.asarray(step_size, jnp.float32),
+             jnp.asarray(0, jnp.int32))
+
+    done = 0
+    while done < burn_in:
+        n_steps = min(chunk, burn_in - done)
+        key, k_chunk = jax.random.split(key)
+        carry = burn_chunk(carry, k_chunk, n_steps=n_steps)
+        done += n_steps
+
+    chunks = []
+    acc_sum = jnp.asarray(0.0)
+    done = 0
+    while done < n_keep:
+        n_steps = min(chunk, n_keep - done)
+        key, k_chunk = jax.random.split(key)
+        carry, samples, acc = keep_chunk(carry, k_chunk, n_steps=n_steps)
+        chunks.append(samples)
+        acc_sum = acc_sum + acc
+        done += n_steps
+
+    stacked = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *chunks) \
+        if len(chunks) > 1 else chunks[0]
+    return HMCResult(samples=stacked, step_size=carry[2],
+                     accept_rate=acc_sum / max(n_keep, 1))

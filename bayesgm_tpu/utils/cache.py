@@ -29,7 +29,7 @@ def enable_compilation_cache(cache_dir: str | None = None) -> bool:
         path = cache_dir or _DEFAULT_DIR
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         _enabled = True
         return True
     except Exception:
