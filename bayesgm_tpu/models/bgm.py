@@ -292,6 +292,29 @@ class BGM:
         """Return ``{"params": params}``."""
         return {"params": self.params}
 
+    def save_weights(self, path: str):
+        """Save networks + generator BN state (and latent table if fitted)."""
+        bundle = {"nets": self.nets, "g_state": self.g_state}
+        if self.data_z is not None:
+            bundle["data_z"] = self.data_z
+        return ckpt_lib.save_pytree(path, bundle)
+
+    def load_weights(self, path: str):
+        """Restore parameters saved by :meth:`save_weights`."""
+        bundle = {"nets": self.nets, "g_state": self.g_state}
+        if self.data_z is not None:
+            bundle["data_z"] = self.data_z
+        try:
+            bundle = ckpt_lib.restore_checkpoint(path, bundle)
+        except KeyError:
+            bundle = ckpt_lib.restore_checkpoint(
+                path, {"nets": self.nets, "g_state": self.g_state})
+        self.nets = bundle["nets"]
+        self.g_state = bundle["g_state"]
+        if "data_z" in bundle:
+            self.data_z = bundle["data_z"]
+        return self
+
     def initialize_nets(self, print_summary: bool = False):
         if print_summary:
             n_params = sum(x.size for x in jax.tree.leaves(self.nets["g"]))

@@ -492,6 +492,29 @@ class CausalBGM:
         """Return ``{"params": params}`` (reference base.py:130-142)."""
         return {"params": self.params}
 
+    def save_weights(self, path: str):
+        """Save all network parameters (and the latent table if fitted) to a
+        single ``.npz`` pytree for later serving."""
+        bundle = {"nets": self.nets}
+        if self.data_z is not None:
+            bundle["data_z"] = self.data_z
+        return ckpt_lib.save_pytree(path, bundle)
+
+    def load_weights(self, path: str):
+        """Restore parameters saved by :meth:`save_weights` (shapes must match
+        the current configuration)."""
+        bundle = {"nets": self.nets}
+        if self.data_z is not None:
+            bundle["data_z"] = self.data_z
+        try:
+            bundle = ckpt_lib.restore_checkpoint(path, bundle)
+        except KeyError:
+            bundle = {"nets": ckpt_lib.restore_checkpoint(path, {"nets": self.nets})["nets"]}
+        self.nets = bundle["nets"]
+        if "data_z" in bundle:
+            self.data_z = bundle["data_z"]
+        return self
+
     def initialize_nets(self, print_summary: bool = False):
         """Networks are built eagerly in ``__init__``; optionally print sizes."""
         if print_summary:
@@ -540,7 +563,8 @@ class CausalBGM:
                        losses["l2_loss_x"], losses["l2_loss_y"], losses["g_e_loss"],
                        losses["dz_loss"], losses["d_loss"]))
             self.nets, self._opt_d, self._opt_ge = carry
-            causal_pre, mse_x, mse_y, mse_v = self.evaluate(data)
+            # star-unpack: the identifiable subclass's evaluate returns extras
+            causal_pre, mse_x, mse_y, mse_v, *_ = self.evaluate(data)
             if self.params["save_res"]:
                 save_data(f"{self.save_dir}/causal_pre_egm_init_iter-{done - 1}.txt",
                           np.asarray(causal_pre))
@@ -718,20 +742,30 @@ class CausalBGM:
         z_draws = jnp.asarray(data_posterior_z, jnp.float32)
         collect = _effect_collector(self.cfg, self.nets, x_values, sample_y)
         keys = jax.random.split(self._next_key(), z_draws.shape[0])
-        out = jax.vmap(collect)(z_draws, keys)  # (n_keep, stat)
+        # Batch over draws to bound activation memory (a single vmap across
+        # all draws materializes (n_keep, grid, n, hidden) at once).
+        vm = jax.jit(jax.vmap(collect))
+        bs = 64
+        outs = []
+        for start in range(0, z_draws.shape[0], bs):
+            end = min(start + bs, z_draws.shape[0])
+            outs.append(np.asarray(vm(z_draws[start:end], keys[start:end])))
+        out = np.concatenate(outs, axis=0)  # (n_keep, stat)
         if self.cfg.binary_treatment:
             return np.asarray(out)
         return np.asarray(out).T  # (len(x_values), n_keep)
 
     def predict(self, data, alpha=0.01, n_mcmc=3000, burn_in=5000, x_values=None,
-                q_sd=1.0, sample_y=True, bs=10000):
+                q_sd=1.0, sample_y=True, bs=10000, sampler="mh"):
         """Causal effects with posterior intervals from latent MCMC
         (reference predict, base.py:573-668).
 
         Binary: returns (ITE mean (n,), intervals (n, 2)).  Continuous:
         (ADRF (len(x_values),), intervals (len(x_values), 2)).  The chain and
         the effect computation are fused on device; only per-step effect
-        draws come back to the host.
+        draws come back to the host.  ``sampler="mala"`` switches to
+        gradient-informed Langevin proposals (better mixing on concentrated
+        posteriors; not in the reference).
         """
         assert 0 < alpha < 1, "The significance level 'alpha' must be greater than 0 and less than 1."
         cfg = self.cfg
@@ -757,10 +791,17 @@ class CausalBGM:
             bx, by, bv = jnp.asarray(bx), jnp.asarray(by), jnp.asarray(bv)
             log_prob = self._make_log_prob(bx, by, bv)
             init = jax.random.normal(self._next_key(), (bx.shape[0], sum(cfg.z_dims)))
-            res = mcmc.adaptive_mh(
-                log_prob, init, self._next_key(), burn_in=burn_in, n_keep=n_mcmc,
-                q_sd=q0, adaptive=adaptive, recompute_current=cfg.use_bnn,
-                collect=collect)
+            if sampler == "mala":
+                # Gradient-informed Langevin proposals (beyond-reference):
+                # adapts toward the MALA-optimal ~0.574 acceptance.
+                res = mcmc.adaptive_mala(
+                    log_prob, init, self._next_key(), burn_in=burn_in,
+                    n_keep=n_mcmc, step_size=0.1, collect=collect)
+            else:
+                res = mcmc.adaptive_mh(
+                    log_prob, init, self._next_key(), burn_in=burn_in, n_keep=n_mcmc,
+                    q_sd=q0, adaptive=adaptive, recompute_current=cfg.use_bnn,
+                    collect=collect)
             print(f"Final MCMC Acceptance Rate: {float(res.accept_rate):.4f}")
             return np.asarray(res.samples)
 

@@ -74,7 +74,8 @@ class FullMCMCCausalBGM(cb.CausalBGM):
 
         return log_prob
 
-    def run_mcmc_training(self, data, num_samples=2000, num_burnin=1000, eps=1e-6):
+    def run_mcmc_training(self, data, num_samples=2000, num_burnin=1000, eps=1e-6,
+                          step_size=1e-4, num_leapfrog=3, adaptation_rate=0.05):
         """HMC over g/h/f weights conditioned on the fitted latent table
         (fullmcmc.py:115-181).  Must be called after :meth:`fit`."""
         assert self.data_z is not None, "Call fit() before run_mcmc_training()."
@@ -109,9 +110,14 @@ class FullMCMCCausalBGM(cb.CausalBGM):
             print(f"Running HMC for {name}_net...")
             flat0, _ = nn.flatten_params(self.nets[name])
             log_prob = self._weight_log_prob_fn(name, inputs, targets, lik)
+            # Weight-space posteriors over ~10^4 parameters with a
+            # full-dataset likelihood are extremely sharp: start small and
+            # adapt aggressively (the reference's fixed 0.01 step yields
+            # ~zero acceptance at this scale).
             res = mcmc.hmc(log_prob, flat0[None, :], self._next_key(),
                            burn_in=num_burnin, n_keep=num_samples,
-                           step_size=0.01, num_leapfrog=3, adapt_fraction=0.8)
+                           step_size=step_size, num_leapfrog=num_leapfrog,
+                           adapt_fraction=0.8, adaptation_rate=adaptation_rate)
             samples = np.asarray(res.samples)[:, 0, :]  # (num_samples, D)
             setattr(self, f"{name}_net_samples", samples)
             print(f"HMC for {name}_net finished. Acceptance rate: {float(res.accept_rate):.4f}")
@@ -245,7 +251,16 @@ class FullMCMCCausalBGM(cb.CausalBGM):
                 return jax.vmap(per_x)(xv, keys)
 
         keys = jax.random.split(self._next_key(), z_draws.shape[0])
-        return np.asarray(jax.jit(jax.vmap(per_draw))(z_draws, f_w, keys))
+        # Batch over draws: a single vmap across all n_keep draws would
+        # materialize (n_keep, len(x_values), n, hidden) activations at once
+        # (hundreds of GB at reference scale).
+        vm = jax.jit(jax.vmap(per_draw))
+        bs = 64
+        outs = []
+        for start in range(0, z_draws.shape[0], bs):
+            end = min(start + bs, z_draws.shape[0])
+            outs.append(np.asarray(vm(z_draws[start:end], f_w[start:end], keys[start:end])))
+        return np.concatenate(outs, axis=0)
 
     def predict(self, data, alpha=0.01, n_mcmc=3000, burn_in=5000, x_values=None,
                 q_sd=1.0, sample_y=True, bs=10000):

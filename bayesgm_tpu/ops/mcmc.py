@@ -190,7 +190,7 @@ def _leapfrog(grad_fn, state, momentum, step_size, num_steps, key):
 
 
 def _hmc_step(carry, key, log_prob_fn, grad_fn, num_leapfrog, target_accept,
-              n_adapt, adaptation_rate=0.01):
+              n_adapt, adaptation_rate):
     state, logp, step_size, t = carry
     k_mom, k_unif, k_lp, k_grad = jax.random.split(key, 4)
 
@@ -222,6 +222,7 @@ def _hmc_step(carry, key, log_prob_fn, grad_fn, num_leapfrog, target_accept,
 def hmc(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000,
         n_keep: int = 3000, step_size: float = 0.01, num_leapfrog: int = 10,
         target_accept: float = 0.75, adapt_fraction: float = 0.8,
+        adaptation_rate: float = 0.01,
         collect: Optional[Callable] = None) -> HMCResult:
     """HMC over ``n`` independent chains (axis 0) with burn-in step-size
     adaptation for the first ``adapt_fraction`` of burn-in steps.
@@ -235,7 +236,7 @@ def hmc(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000,
 
     step = partial(_hmc_step, log_prob_fn=log_prob_fn, grad_fn=grad_fn,
                    num_leapfrog=num_leapfrog, target_accept=target_accept,
-                   n_adapt=n_adapt)
+                   n_adapt=n_adapt, adaptation_rate=adaptation_rate)
 
     # HMC does num_leapfrog gradient evals per step; keep chunks shorter so a
     # single program stays well under TPU watchdog territory.
@@ -286,3 +287,121 @@ def hmc(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000,
         if len(chunks) > 1 else chunks[0]
     return HMCResult(samples=stacked, step_size=carry[2],
                      accept_rate=acc_sum / max(n_keep, 1))
+
+
+# ---------------------------------------------------------------------------
+# Metropolis-adjusted Langevin (MALA) — beyond-reference sampler
+# ---------------------------------------------------------------------------
+
+
+def _mala_step(carry, key, value_and_grad_fn, adaptive, burn_in, target_rate,
+               tolerance, adjustment_interval, window_size):
+    state, logp, grad, eps, window, t = carry
+    k_noise, k_unif, k_lp = jax.random.split(key, 3)
+
+    drift = 0.5 * eps**2 * grad
+    noise = eps * jax.random.normal(k_noise, state.shape, state.dtype)
+    proposed = state + drift + noise
+    logp_prop, grad_prop = value_and_grad_fn(proposed, k_lp)
+
+    # Asymmetric proposal correction: log q(x|x') - log q(x'|x).
+    fwd = proposed - state - drift
+    bwd = state - proposed - 0.5 * eps**2 * grad_prop
+    log_q_fwd = -jnp.sum(fwd**2, axis=-1) / (2.0 * eps**2)
+    log_q_bwd = -jnp.sum(bwd**2, axis=-1) / (2.0 * eps**2)
+    log_ratio = jnp.minimum(logp_prop - logp + log_q_bwd - log_q_fwd, 0.0)
+
+    accept = jnp.log(jax.random.uniform(k_unif, logp.shape)) < log_ratio
+    state = jnp.where(accept[:, None], proposed, state)
+    logp = jnp.where(accept, logp_prop, logp)
+    grad = jnp.where(accept[:, None], grad_prop, grad)
+
+    accept_frac = jnp.mean(accept.astype(jnp.float32))
+    window = window.at[t % window_size].set(accept_frac)
+    n_valid = jnp.minimum(t + 1, window_size).astype(jnp.float32)
+    rate = jnp.sum(window) / n_valid
+
+    def adjust(e):
+        e = jnp.where(rate < target_rate - tolerance, e * 0.9, e)
+        e = jnp.where(rate > target_rate + tolerance, e * 1.1, e)
+        return e
+
+    do_adjust = adaptive & (t < burn_in) & (t % adjustment_interval == 0) & (t > 0)
+    eps = jnp.where(do_adjust, adjust(eps), eps)
+    return (state, logp, grad, eps, window, t + 1), rate
+
+
+def adaptive_mala(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000,
+                  n_keep: int = 3000, step_size: float = 0.1,
+                  target_rate: float = 0.574, tolerance: float = 0.05,
+                  adjustment_interval: int = 50, window_size: int = 100,
+                  adaptive: bool = True,
+                  collect: Optional[Callable] = None) -> MHResult:
+    """Metropolis-adjusted Langevin over ``n`` independent chains.
+
+    Gradient-informed proposals mix far better than the reference's
+    random-walk MH on concentrated posteriors: the step size adapts toward
+    the MALA-optimal ~0.574 acceptance rate during burn-in.  Requires a
+    differentiable ``log_prob_fn(state, key) -> (n,)``.
+    """
+    vg = jax.value_and_grad(lambda s, k: jnp.sum(log_prob_fn(s, k)), argnums=0)
+
+    def value_and_grad_fn(s, k):
+        total, g = vg(s, k)
+        # recompute per-row values cheaply: log_prob_fn is row-separable, so
+        # grad is exact; per-row logp needs its own evaluation
+        return log_prob_fn(s, k), g
+
+    k_init, key = jax.random.split(key)
+    logp0 = log_prob_fn(init_state, k_init)
+    _, grad0 = vg(init_state, k_init)
+
+    step = partial(_mala_step, value_and_grad_fn=value_and_grad_fn,
+                   adaptive=jnp.asarray(adaptive), burn_in=burn_in,
+                   target_rate=target_rate, tolerance=tolerance,
+                   adjustment_interval=adjustment_interval, window_size=window_size)
+
+    @partial(jax.jit, static_argnames=("n_steps",))
+    def burn_chunk(carry, chunk_key, n_steps):
+        keys = jax.random.split(chunk_key, n_steps)
+        carry, rates = jax.lax.scan(lambda c, k: step(c, k), carry, keys)
+        return carry, rates[-1]
+
+    collect_fn = (lambda s, k: s) if collect is None else collect
+
+    @partial(jax.jit, static_argnames=("n_steps",))
+    def keep_chunk(carry, chunk_key, n_steps):
+        keys = jax.random.split(chunk_key, n_steps)
+
+        def body(c, k):
+            k_step, k_col = jax.random.split(k)
+            new_c, rate = step(c, k_step)
+            return new_c, (collect_fn(new_c[0], k_col), rate)
+
+        carry, (samples, rates) = jax.lax.scan(body, carry, keys)
+        return carry, samples, rates[-1]
+
+    window = jnp.zeros((window_size,), jnp.float32)
+    carry = (init_state, logp0, grad0, jnp.asarray(step_size, jnp.float32),
+             window, jnp.asarray(0, jnp.int32))
+
+    rate = jnp.asarray(0.0)
+    done = 0
+    while done < burn_in:
+        n_steps = min(CHUNK, burn_in - done)
+        key, k_chunk = jax.random.split(key)
+        carry, rate = burn_chunk(carry, k_chunk, n_steps=n_steps)
+        done += n_steps
+
+    chunks = []
+    done = 0
+    while done < n_keep:
+        n_steps = min(CHUNK, n_keep - done)
+        key, k_chunk = jax.random.split(key)
+        carry, samples, rate = keep_chunk(carry, k_chunk, n_steps=n_steps)
+        chunks.append(samples)
+        done += n_steps
+
+    stacked = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *chunks) \
+        if len(chunks) > 1 else chunks[0]
+    return MHResult(samples=stacked, q_sd=carry[3], accept_rate=rate)

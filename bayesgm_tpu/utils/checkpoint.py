@@ -22,16 +22,21 @@ def _key_str(path) -> str:
     return jax.tree_util.keystr(path)
 
 
-def save_checkpoint(ckpt_dir: str, step: int, pytree, max_to_keep: int = 5) -> str:
-    """Save ``pytree`` as ``{ckpt_dir}/ckpt-{step}.npz`` (atomic rename)."""
-    os.makedirs(ckpt_dir, exist_ok=True)
+def save_pytree(path: str, pytree) -> str:
+    """Save an arbitrary pytree of arrays to ``path`` (.npz, atomic)."""
     leaves_with_paths = jax.tree_util.tree_flatten_with_path(pytree)[0]
-    arrays = {_key_str(path): np.asarray(leaf) for path, leaf in leaves_with_paths}
-    path = os.path.join(ckpt_dir, f"ckpt-{step}.npz")
+    arrays = {_key_str(p): np.asarray(leaf) for p, leaf in leaves_with_paths}
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.savez(f, **arrays)
     os.replace(tmp, path)
+    return path
+
+
+def save_checkpoint(ckpt_dir: str, step: int, pytree, max_to_keep: int = 5) -> str:
+    """Save ``pytree`` as ``{ckpt_dir}/ckpt-{step}.npz`` (atomic rename)."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = save_pytree(os.path.join(ckpt_dir, f"ckpt-{step}.npz"), pytree)
     _prune(ckpt_dir, max_to_keep)
     return path
 

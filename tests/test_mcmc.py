@@ -71,3 +71,14 @@ def test_hmc_step_size_adapts_up():
                    n_keep=50, step_size=0.001, num_leapfrog=3)
     # tiny initial step + high acceptance -> adaptation grows the step size
     assert float(res.step_size) > 0.001
+
+
+def test_adaptive_mala_recovers_standard_normal():
+    samples_res = mcmc.adaptive_mala(
+        _std_normal_logp, jnp.zeros((64, 3)), jax.random.PRNGKey(5),
+        burn_in=300, n_keep=1500, step_size=0.5)
+    samples = np.asarray(samples_res.samples).reshape(-1, 3)
+    np.testing.assert_allclose(samples.mean(axis=0), 0.0, atol=0.1)
+    np.testing.assert_allclose(samples.std(axis=0), 1.0, atol=0.1)
+    # adaptation toward the MALA-optimal band
+    assert 0.4 < float(samples_res.accept_rate) <= 1.0
