@@ -243,6 +243,11 @@ class BGM:
         enable_compilation_cache()
         seed = 42 if random_seed is None else int(random_seed)
         self._key = jax.random.PRNGKey(seed)
+        self._metrics = None
+        if p.get("metrics_path"):
+            from bayesgm_tpu.utils.profiling import MetricsLogger
+
+            self._metrics = MetricsLogger(p["metrics_path"])
         self._build_nets()
 
         self.data_z = None
@@ -423,6 +428,8 @@ class BGM:
                 self.history_loss.append(mse_x)
                 if verbose:
                     print("Epoch [%d/%d]: MSE_x: %.4f\n" % (epoch, epochs, mse_x))
+                if self._metrics is not None:
+                    self._metrics.log("eval", epoch=epoch, mse_x=mse_x)
                 if self.params["save_model"]:
                     path = ckpt_lib.save_checkpoint(
                         self.checkpoint_path, epoch,

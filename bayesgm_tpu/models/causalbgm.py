@@ -431,6 +431,11 @@ class CausalBGM:
         enable_compilation_cache()
         seed = 42 if random_seed is None else int(random_seed)
         self._key = jax.random.PRNGKey(seed)
+        self._metrics = None
+        if p.get("metrics_path"):
+            from bayesgm_tpu.utils.profiling import MetricsLogger
+
+            self._metrics = MetricsLogger(p["metrics_path"])
         self._build_nets()
 
         self.data_z = None
@@ -636,6 +641,9 @@ class CausalBGM:
                 if verbose:
                     print("Epoch [%d/%d]: MSE_x: %.4f, MSE_y: %.4f, MSE_v: %.4f\n"
                           % (epoch, epochs, float(mse_x), mse_y, float(mse_v)))
+                if self._metrics is not None:
+                    self._metrics.log("eval", epoch=epoch, mse_x=mse_x,
+                                      mse_y=mse_y, mse_v=mse_v)
                 if epoch >= startoff and mse_y < best_loss:
                     best_loss = mse_y
                     self.best_causal_pre = causal_pre

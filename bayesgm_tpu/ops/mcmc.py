@@ -344,17 +344,15 @@ def adaptive_mala(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000
     the MALA-optimal ~0.574 acceptance rate during burn-in.  Requires a
     differentiable ``log_prob_fn(state, key) -> (n,)``.
     """
-    vg = jax.value_and_grad(lambda s, k: jnp.sum(log_prob_fn(s, k)), argnums=0)
-
     def value_and_grad_fn(s, k):
-        total, g = vg(s, k)
-        # recompute per-row values cheaply: log_prob_fn is row-separable, so
-        # grad is exact; per-row logp needs its own evaluation
-        return log_prob_fn(s, k), g
+        # One forward + one backward gives per-row values AND the gradient
+        # (the target is row-separable, so a ones cotangent is exact).
+        logp, vjp = jax.vjp(lambda s_: log_prob_fn(s_, k), s)
+        (g,) = vjp(jnp.ones_like(logp))
+        return logp, g
 
     k_init, key = jax.random.split(key)
-    logp0 = log_prob_fn(init_state, k_init)
-    _, grad0 = vg(init_state, k_init)
+    logp0, grad0 = value_and_grad_fn(init_state, k_init)
 
     step = partial(_mala_step, value_and_grad_fn=value_and_grad_fn,
                    adaptive=jnp.asarray(adaptive), burn_in=burn_in,
