@@ -306,18 +306,13 @@ class BGM:
 
     def load_weights(self, path: str):
         """Restore parameters saved by :meth:`save_weights`."""
-        bundle = {"nets": self.nets, "g_state": self.g_state}
-        if self.data_z is not None:
-            bundle["data_z"] = self.data_z
-        try:
-            bundle = ckpt_lib.restore_checkpoint(path, bundle)
-        except KeyError:
-            bundle = ckpt_lib.restore_checkpoint(
-                path, {"nets": self.nets, "g_state": self.g_state})
-        self.nets = bundle["nets"]
-        self.g_state = bundle["g_state"]
-        if "data_z" in bundle:
-            self.data_z = bundle["data_z"]
+        import numpy as _np
+
+        self.nets = ckpt_lib.restore_checkpoint(path, {"nets": self.nets})["nets"]
+        self.g_state = ckpt_lib.restore_checkpoint(path, {"nets": self.nets, "g_state": self.g_state})["g_state"]
+        with _np.load(path) as d:
+            if "['data_z']" in d:
+                self.data_z = jnp.asarray(d["['data_z']"])
         return self
 
     def initialize_nets(self, print_summary: bool = False):

@@ -508,16 +508,12 @@ class CausalBGM:
     def load_weights(self, path: str):
         """Restore parameters saved by :meth:`save_weights` (shapes must match
         the current configuration)."""
-        bundle = {"nets": self.nets}
-        if self.data_z is not None:
-            bundle["data_z"] = self.data_z
-        try:
-            bundle = ckpt_lib.restore_checkpoint(path, bundle)
-        except KeyError:
-            bundle = {"nets": ckpt_lib.restore_checkpoint(path, {"nets": self.nets})["nets"]}
-        self.nets = bundle["nets"]
-        if "data_z" in bundle:
-            self.data_z = bundle["data_z"]
+        import numpy as _np
+
+        self.nets = ckpt_lib.restore_checkpoint(path, {"nets": self.nets})["nets"]
+        with _np.load(path) as d:
+            if "['data_z']" in d:
+                self.data_z = jnp.asarray(d["['data_z']"])
         return self
 
     def initialize_nets(self, print_summary: bool = False):
