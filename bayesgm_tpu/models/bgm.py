@@ -24,7 +24,7 @@ from __future__ import annotations
 import datetime
 import os
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ construction (fullmcmc.py:49-57) into a single principled scheme.
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,6 @@ CPU testing.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Sequence
 
 import jax

@@ -15,7 +15,6 @@ Design (new relative to the reference, which is single-device only):
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
