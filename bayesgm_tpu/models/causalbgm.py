@@ -689,33 +689,55 @@ class CausalBGM:
         args = [jnp.asarray(a, jnp.float32) for a in (data_x, data_y, data_v, data_z)]
         return -_neg_log_posterior_rows(self.cfg, self.nets, args[3], args[0], args[1], args[2], key)
 
-    def _make_log_prob(self, data_x, data_y, data_v):
+    def _make_log_prob(self, data_x, data_y, data_v, differentiable=False):
         """MH log-target over Z.  Non-Bayesian nets on TPU use the fully
         fused Pallas kernel (ops/pallas_kernels.py, ~1.7x the XLA path);
-        flipout nets and CPU runs fall back to the XLA composite."""
+        flipout nets and CPU runs use the XLA composite.  With
+        ``differentiable=True`` the fused forward is wrapped in a custom VJP
+        whose backward differentiates the XLA composite (the hand-written
+        kernel defines no VJP), so gradient-based samplers still get the fast
+        forward."""
         cfg, nets = self.cfg, self.nets
-        if not cfg.use_bnn:
-            from bayesgm_tpu.ops import pallas_kernels as pk
 
-            try:
-                fused = pk.make_fused_causal_logp(
-                    cfg, pk.mlp_layer_dims(nets["g"]), pk.mlp_layer_dims(nets["h"]),
-                    pk.mlp_layer_dims(nets["f"]))
-                gf = pk.flatten_mlp_params(nets["g"])
-                hf = pk.flatten_mlp_params(nets["h"])
-                ff = pk.flatten_mlp_params(nets["f"])
-
-                def log_prob(z, key):
-                    return -fused(z, data_x, data_y, data_v, gf, hf, ff)
-
-                return log_prob
-            except Exception:  # pragma: no cover - pallas unavailable
-                pass
-
-        def log_prob(z, key):
+        def xla_log_prob(z, key):
             return -_neg_log_posterior_rows(cfg, nets, z, data_x, data_y, data_v, key)
 
-        return log_prob
+        if cfg.use_bnn:
+            return xla_log_prob
+
+        from bayesgm_tpu.ops import pallas_kernels as pk
+
+        try:
+            fused = pk.make_fused_causal_logp(
+                cfg, pk.mlp_layer_dims(nets["g"]), pk.mlp_layer_dims(nets["h"]),
+                pk.mlp_layer_dims(nets["f"]))
+            gf = pk.flatten_mlp_params(nets["g"])
+            hf = pk.flatten_mlp_params(nets["h"])
+            ff = pk.flatten_mlp_params(nets["f"])
+
+            def fused_log_prob(z, key):
+                return -fused(z, data_x, data_y, data_v, gf, hf, ff)
+
+            if not differentiable:
+                return fused_log_prob
+
+            @jax.custom_vjp
+            def log_prob(z, key):
+                return fused_log_prob(z, key)
+
+            def fwd(z, key):
+                return fused_log_prob(z, key), (z, key)
+
+            def bwd(residuals, cotangent):
+                z, key = residuals
+                _, vjp = jax.vjp(lambda z_: xla_log_prob(z_, key), z)
+                (dz,) = vjp(cotangent)
+                return dz, None
+
+            log_prob.defvjp(fwd, bwd)
+            return log_prob
+        except Exception:  # pragma: no cover - pallas unavailable
+            return xla_log_prob
 
     def metropolis_hastings_sampler(self, data, initial_q_sd=1.0, q_sd=None, burn_in=5000,
                                     n_keep=3000, target_acceptance_rate=0.25, tolerance=0.05,
@@ -793,7 +815,7 @@ class CausalBGM:
 
         def run_batch(bx, by, bv):
             bx, by, bv = jnp.asarray(bx), jnp.asarray(by), jnp.asarray(bv)
-            log_prob = self._make_log_prob(bx, by, bv)
+            log_prob = self._make_log_prob(bx, by, bv, differentiable=(sampler == "mala"))
             init = jax.random.normal(self._next_key(), (bx.shape[0], sum(cfg.z_dims)))
             if sampler == "mala":
                 # Gradient-informed Langevin proposals (beyond-reference):

@@ -199,3 +199,14 @@ def test_bgm_log_posterior_masked_gather(bgm_data, tmp_path):
                                                obs_mask=np.ones((8, 4), "float32"),
                                                key=jax.random.PRNGKey(0)))
     np.testing.assert_allclose(lp_full, lp_gather, rtol=1e-4)
+
+
+def test_causalbgm_predict_mala(causal_data, tmp_path):
+    x, y, v = causal_data
+    m = CausalBGM(_causal_params(tmpdir=str(tmp_path)), random_seed=21)
+    m.fit((x, y, v), epochs=1, epochs_per_eval=1, batch_size=16,
+          use_egm_init=False, verbose=0)
+    adrf, ci = m.predict((x, y, v), alpha=0.1, n_mcmc=10, burn_in=20,
+                         x_values=[0.5, 1.5], sampler="mala")
+    assert adrf.shape == (2,) and ci.shape == (2, 2)
+    assert np.all(np.isfinite(adrf))
