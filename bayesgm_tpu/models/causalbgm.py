@@ -721,18 +721,23 @@ class CausalBGM:
             if not differentiable:
                 return fused_log_prob
 
+            fused_vg = pk.make_fused_causal_logp_and_grad(
+                cfg, pk.mlp_layer_dims(nets["g"]), pk.mlp_layer_dims(nets["h"]),
+                pk.mlp_layer_dims(nets["f"]))
+
             @jax.custom_vjp
             def log_prob(z, key):
                 return fused_log_prob(z, key)
 
             def fwd(z, key):
-                return fused_log_prob(z, key), (z, key)
+                neg, grad_neg = fused_vg(z, data_x, data_y, data_v, gf, hf, ff)
+                return -neg, grad_neg
 
-            def bwd(residuals, cotangent):
-                z, key = residuals
-                _, vjp = jax.vjp(lambda z_: xla_log_prob(z_, key), z)
-                (dz,) = vjp(cotangent)
-                return dz, None
+            def bwd(grad_neg, cotangent):
+                # The target is row-separable, so d(sum u_i logp_i)/dz is a
+                # row-wise scaling of the per-row gradient from the fused
+                # forward+backward kernel.
+                return -cotangent[:, None] * grad_neg, None
 
             log_prob.defvjp(fwd, bwd)
             return log_prob

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from bayesgm_tpu.models import causalbgm as cb
 from bayesgm_tpu.ops import nn
@@ -70,3 +71,31 @@ def test_pick_block_rows():
     assert pk.pick_block_rows(4 * 500) == 2048
     assert pk.pick_block_rows(4 * 500, budget_bytes=2**20) == 512
     assert pk.pick_block_rows(10**9) == 256
+
+
+@pytest.mark.parametrize("binary,sigma_v", [(False, None), (True, None), (False, 0.5)])
+def test_fused_logp_and_grad_matches_autodiff(binary, sigma_v):
+    cfg = _tiny_cfg(binary=binary, sigma_v=sigma_v)
+    nets = _nets(cfg)
+    n = 40
+    z = jax.random.normal(jax.random.PRNGKey(3), (n, sum(cfg.z_dims)))
+    if binary:
+        x = (jax.random.uniform(jax.random.PRNGKey(4), (n, 1)) < 0.5).astype(jnp.float32)
+    else:
+        x = jax.random.normal(jax.random.PRNGKey(4), (n, 1))
+    y = jax.random.normal(jax.random.PRNGKey(5), (n, 1))
+    v = jax.random.normal(jax.random.PRNGKey(6), (n, cfg.v_dim))
+
+    fused = pk.make_fused_causal_logp_and_grad(
+        cfg, pk.mlp_layer_dims(nets["g"]), pk.mlp_layer_dims(nets["h"]),
+        pk.mlp_layer_dims(nets["f"]), block_rows=16, interpret=True)
+    gf, hf, ff = (pk.flatten_mlp_params(nets[k]) for k in "ghf")
+    neg_p, grad_p = fused(z, x, y, v, gf, hf, ff)
+
+    def neg_logp(z_):
+        return cb._neg_log_posterior_rows(cfg, nets, z_, x, y, v, jax.random.PRNGKey(0))
+
+    neg_x = np.asarray(neg_logp(z))
+    grad_x = np.asarray(jax.grad(lambda z_: jnp.sum(neg_logp(z_)))(z))
+    np.testing.assert_allclose(np.asarray(neg_p), neg_x, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(grad_p), grad_x, rtol=2e-3, atol=2e-4)
