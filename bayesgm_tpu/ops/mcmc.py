@@ -51,9 +51,15 @@ class MHResult(NamedTuple):
 
 def _mh_step(carry, key, log_prob_fn, q_sd_is_adaptive, burn_in,
              target_rate, tolerance, adjustment_interval, window_size,
-             recompute_current):
+             recompute_current, shared_eval_key):
     state, logp, q_sd, window, t = carry
     k_prop, k_unif, k_lp1, k_lp2 = jax.random.split(key, 4)
+    if shared_eval_key:
+        # One evaluation key per step: targets that derive auxiliary
+        # randomness from the key (e.g. FullMCMC's per-step weight-sample
+        # index) then compare proposed vs current under the SAME draw, as
+        # the reference does with one rand_idx per step (fullmcmc.py:443-452).
+        k_lp2 = k_lp1
 
     proposed = state + q_sd * jax.random.normal(k_prop, state.shape, state.dtype)
     logp_prop = log_prob_fn(proposed, k_lp1)
@@ -90,7 +96,7 @@ def adaptive_mh(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000,
                 n_keep: int = 3000, q_sd: float = 1.0, adaptive: bool = True,
                 target_rate: float = 0.25, tolerance: float = 0.05,
                 adjustment_interval: int = 50, window_size: int = 100,
-                recompute_current: bool = False,
+                recompute_current: bool = False, shared_eval_key: bool = False,
                 collect: Optional[Callable] = None) -> MHResult:
     """Vectorized adaptive random-walk Metropolis–Hastings.
 
@@ -100,6 +106,11 @@ def adaptive_mh(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000,
         Batched log target over ``n`` independent chains.
     init_state : (n, d) array
         Initial chain states.
+    shared_eval_key : bool
+        With ``recompute_current``, evaluate proposed and current state with
+        the SAME key within a step — required when the target's auxiliary
+        randomness (e.g. a weight-sample index) must be common to both sides
+        of the accept ratio.
     collect : callable ``(state, key) -> pytree`` or None
         Per-kept-step statistic; defaults to the raw state.  Using a small
         statistic keeps HBM usage at ``n_keep × |stat|``.
@@ -115,7 +126,7 @@ def adaptive_mh(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000,
         _mh_step, log_prob_fn=log_prob_fn, q_sd_is_adaptive=jnp.asarray(adaptive),
         burn_in=burn_in, target_rate=target_rate, tolerance=tolerance,
         adjustment_interval=adjustment_interval, window_size=window_size,
-        recompute_current=recompute_current)
+        recompute_current=recompute_current, shared_eval_key=shared_eval_key)
 
     @partial(jax.jit, static_argnames=("n_steps",))
     def burn_chunk(carry, chunk_key, n_steps):
@@ -160,8 +171,12 @@ def adaptive_mh(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000,
         chunks.append(samples)
         done += n_steps
 
-    stacked = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *chunks) \
-        if len(chunks) > 1 else chunks[0]
+    if not chunks:  # n_keep=0: burn-in only (throughput benchmarking)
+        stacked = None
+    elif len(chunks) > 1:
+        stacked = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
+    else:
+        stacked = chunks[0]
     return MHResult(samples=stacked, q_sd=carry[2], accept_rate=rate)
 
 

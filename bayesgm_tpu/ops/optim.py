@@ -63,17 +63,22 @@ def table_adam_update_rows(grad_rows, idx, state: TableAdamState, table, lr: flo
                            b1: float = 0.9, b2: float = 0.99):
     """Adam update of ``table[idx]`` given ``grad_rows`` (len(idx), d).
 
-    Moments are updated only on the touched rows; bias correction uses the
-    global step count, matching Keras' sparse-gradient Adam behavior.
+    Matches ``tf.keras.optimizers.Adam`` applied to IndexedSlices gradients
+    (the reference's posterior_optimizer path over the gathered latent
+    table): the first/second moments of ALL rows decay every step
+    (``m <- b1*m``, ``v <- b2*v`` are dense assigns in Keras'
+    ``_resource_apply_sparse``), while the ``(1-b)`` gradient contribution
+    and the parameter update touch only the gathered rows.  Bias correction
+    uses the global step count.  The dense decay is two elementwise passes
+    over the (n, d) moment tables per step — negligible next to the net
+    forwards on TPU — and means rows untouched for many steps lose their
+    momentum, exactly as in the reference.
     """
     t = state.t + 1
     tf_ = t.astype(jnp.float32)
-    m_rows = b1 * state.m[idx] + (1 - b1) * grad_rows
-    v_rows = b2 * state.v[idx] + (1 - b2) * grad_rows * grad_rows
+    m = (b1 * state.m).at[idx].add((1 - b1) * grad_rows)
+    v = (b2 * state.v).at[idx].add((1 - b2) * grad_rows * grad_rows)
     lr_t = lr * jnp.sqrt(1 - b2**tf_) / (1 - b1**tf_)
-    new_rows = table[idx] - lr_t * m_rows / (jnp.sqrt(v_rows) + EPS)
+    new_rows = table[idx] - lr_t * m[idx] / (jnp.sqrt(v[idx]) + EPS)
     new_table = table.at[idx].set(new_rows)
-    new_state = TableAdamState(
-        m=state.m.at[idx].set(m_rows), v=state.v.at[idx].set(v_rows), t=t
-    )
-    return new_table, new_state
+    return new_table, TableAdamState(m=m, v=v, t=t)

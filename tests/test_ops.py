@@ -126,6 +126,19 @@ def test_table_adam_only_touches_rows():
     assert np.all(np.asarray(new_state.m[0]) == 0)
 
 
+def test_table_adam_dense_moment_decay():
+    """Keras Adam over IndexedSlices decays ALL rows' moments every step;
+    rows untouched in a step must lose momentum by b1/b2 factors."""
+    table = jnp.zeros((6, 2))
+    state = optim.table_adam_init(table)
+    _, state = optim.table_adam_update_rows(
+        jnp.ones((2, 2)), jnp.array([0, 1]), state, table, lr=0.01, b1=0.9, b2=0.99)
+    m_before = np.asarray(state.m[0]).copy()
+    _, state = optim.table_adam_update_rows(
+        jnp.ones((2, 2)), jnp.array([4, 5]), state, table, lr=0.01, b1=0.9, b2=0.99)
+    np.testing.assert_allclose(np.asarray(state.m[0]), 0.9 * m_before, rtol=1e-6)
+
+
 def test_flat_weights_roundtrip():
     net = nn.init_mlp(jax.random.PRNGKey(0), 3, 2, [4])
     flat, unravel = nn.flatten_params(net)
