@@ -4,15 +4,19 @@ The MCMC log-posterior evaluation is the dominant cost of ``predict``:
 per chain step it runs three small-MLP forward chains over all ``n`` subjects
 (g: z -> v_dim+1, h: (z0,z2) -> 2, f: (z0,z1,x) -> 2).  The networks are
 64-wide, so each XLA matmul writes its (n, 64) activation back to HBM and the
-step is bandwidth-bound.  :func:`make_fused_mlp` fuses an entire LeakyReLU
-MLP chain into one ``pallas_call``: a block of rows is loaded into VMEM once,
-every layer's matmul runs on the MXU with activations resident in VMEM, and
-only the final output returns to HBM.
+step is bandwidth-bound.  The kernels here fuse a block of rows into VMEM
+once, run every layer's matmul on the MXU with activations resident in VMEM,
+and return only the final scalar statistics to HBM:
 
-:func:`make_fused_causal_logp` goes one step further for CausalBGM's
-non-Bayesian posterior: all three nets plus the Gaussian/Bernoulli NLL
-reductions and the N(0,I) prior run in a single kernel, emitting just the
-(n,) log-posterior — the entire MH target is one kernel launch.
+- :func:`make_fused_causal_logp` — CausalBGM's non-Bayesian posterior: all
+  three nets plus the Gaussian/Bernoulli NLL reductions and the N(0,I) prior
+  in a single kernel emitting the (n,) log-posterior — the entire MH target
+  is one kernel launch.
+- :func:`make_fused_causal_logp_and_grad` — same, plus the hand-written
+  z-gradient in the same kernel (MALA / HMC / the training latent update).
+- :func:`make_fused_causal_logp_bnn` — the DEFAULT configuration's target:
+  the flipout-Bayesian posterior with all per-layer weight noise (Gaussian
+  eps, Rademacher sign pairs) generated in-kernel by the TPU PRNG.
 
 Weights are passed as a flat list of (w, b) arrays and live in VMEM for every
 grid step (they total a few hundred KB).  Row blocks default to 512 (f32 tile
@@ -52,49 +56,6 @@ def _mlp_chain(h, weight_refs, n_layers):
         if i < n_layers - 1:
             h = _leaky(h)
     return h
-
-
-def make_fused_mlp(layer_dims: Sequence[int], block_rows: int = 1024,
-                   interpret: bool | None = None):
-    """Build a fused forward pass for an MLP with ``layer_dims`` =
-    [in, h1, ..., out].
-
-    Returns ``fn(x, flat_params)`` where ``flat_params`` is
-    ``[w1, b1, w2, b2, ...]``; handles any row count by padding the last
-    block.
-    """
-    dims = list(layer_dims)
-    n_layers = len(dims) - 1
-    if interpret is None:
-        interpret = not on_tpu()
-
-    def kernel(x_ref, *refs):
-        out_ref = refs[-1]
-        out_ref[:] = _mlp_chain(x_ref[:], refs[:-1], n_layers)
-
-    def fn(x, flat_params):
-        n = x.shape[0]
-        n_pad = _round_up(max(n, 8), block_rows)
-        if n_pad != n:
-            x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
-        grid = (n_pad // block_rows,)
-        in_specs = [pl.BlockSpec((block_rows, dims[0]), lambda i: (i, 0))]
-        for p in flat_params:
-            if p.ndim == 2:
-                in_specs.append(pl.BlockSpec(p.shape, lambda i: (0, 0)))
-            else:
-                in_specs.append(pl.BlockSpec(p.shape, lambda i: (0,)))
-        out = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=in_specs,
-            out_specs=pl.BlockSpec((block_rows, dims[-1]), lambda i: (i, 0)),
-            out_shape=jax.ShapeDtypeStruct((n_pad, dims[-1]), jnp.float32),
-            interpret=interpret,
-        )(x, *flat_params)
-        return out[:n]
-
-    return fn
 
 
 def flatten_mlp_params(net) -> list:
@@ -234,6 +195,210 @@ def mlp_layer_dims(net) -> list:
     for layer in net["layers"]:
         dims.append(layer["w"].shape[1])
     return dims
+
+
+# ---------------------------------------------------------------------------
+# Flipout-BNN fused log-posterior (the DEFAULT CausalBGM configuration,
+# src/bayesgm/models/causalbgm/base.py:64-84 use_bnn=True)
+# ---------------------------------------------------------------------------
+
+
+def flatten_flipout_params(net) -> list:
+    """[gamma_eff, beta, (loc, sigma, b) per layer] from an ops.nn flipout-MLP
+    pytree.  ``sigma = softplus(rho)`` is precomputed so the kernel does only
+    matmuls; ``gamma_eff`` folds the frozen-BN rsqrt(1+eps) factor."""
+    from bayesgm_tpu.ops.nn import BN_EPS
+
+    out = [net["norm"]["gamma"] * (1.0 + BN_EPS) ** -0.5, net["norm"]["beta"]]
+    for layer in net["layers"]:
+        out.append(layer["loc"])
+        out.append(jax.nn.softplus(layer["rho"]))
+        out.append(layer["b"])
+    return out
+
+
+def flipout_mlp_layer_dims(net) -> list:
+    dims = [net["layers"][0]["loc"].shape[0]]
+    for layer in net["layers"]:
+        dims.append(layer["loc"].shape[1])
+    return dims
+
+
+def _kernel_uniform(shape):
+    """(0,1) uniforms from the on-core PRNG (24 mantissa bits).
+
+    Mosaic has no uint32->f32 cast; the high 24 bits fit int32, which does.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    hi24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+    return hi24.astype(jnp.float32) * jnp.float32(2.0**-24)
+
+
+def _kernel_normal(shape):
+    """Box-Muller standard normals from two uniform draws."""
+    u1 = jnp.maximum(_kernel_uniform(shape), jnp.float32(1e-7))
+    u2 = _kernel_uniform(shape)
+    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(jnp.float32(2.0 * 3.14159265) * u2)
+
+
+def _kernel_signs(shape):
+    """Rademacher +-1 from the low random bit."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    low = pltpu.bitcast(bits & jnp.uint32(1), jnp.int32)
+    return 1.0 - 2.0 * low.astype(jnp.float32)
+
+
+def _flipout_chain(h, refs, n_layers):
+    """Flipout MLP forward with in-kernel weight noise.
+
+    Per layer: ``h @ loc + b + ((h * r_in) @ (sigma * eps)) * r_out`` with
+    eps ~ N(0,I) shared across the block and per-row Rademacher signs —
+    the same estimator family as the XLA path (ops/nn.flipout_dense_apply);
+    noise is drawn from the TPU core PRNG instead of threefry, so values
+    differ by draw but the distribution (and the KL geometry) is identical.
+    refs layout: [gamma_eff, beta, loc0, sig0, b0, loc1, ...].
+    """
+    h = h * refs[0][:] + refs[1][:]
+    for i in range(n_layers):
+        loc = refs[2 + 3 * i][:]
+        sig = refs[2 + 3 * i + 1][:]
+        b = refs[2 + 3 * i + 2][:]
+        eps = _kernel_normal(loc.shape)
+        r_in = _kernel_signs((h.shape[0], loc.shape[0]))
+        r_out = _kernel_signs((h.shape[0], loc.shape[1]))
+        pert = jnp.dot(h * r_in, sig * eps, preferred_element_type=jnp.float32) * r_out
+        h = jnp.dot(h, loc, preferred_element_type=jnp.float32) + b + pert
+        if i < n_layers - 1:
+            h = _leaky(h)
+    return h
+
+
+def make_fused_causal_logp_bnn(cfg, g_dims, h_dims, f_dims,
+                               block_rows: int | None = None,
+                               interpret: bool | None = None):
+    """Fully fused flipout-BNN CausalBGM negative log-posterior kernel.
+
+    The default configuration's MH target (stochastic: fresh weight noise per
+    evaluation, reference base.py:765-817 with DenseFlipout nets) in ONE
+    pallas_call: three flipout chains with all Gaussian/Rademacher noise
+    generated by the on-core PRNG, NLL reductions, and the N(0,I) prior.
+
+    Returns ``fn(z, x, y, v, seed, g_flat, h_flat, f_flat) -> (n,)`` negative
+    log-posterior rows; ``seed`` is an int32[2] array (fold of the step key)
+    and the grid index decorrelates blocks.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = not on_tpu()
+    d0, d1, d2, _ = cfg.z_dims
+    z_dim = sum(cfg.z_dims)
+    v_dim = cfg.v_dim
+    if block_rows is None:
+        max_width = max(*g_dims, *h_dims, *f_dims)
+        # forward activations + two live sign matrices per layer
+        row_bytes = 4 * (z_dim + 2 + 2 * (v_dim + 1) + 4 * max_width)
+        block_rows = pick_block_rows(row_bytes)
+    n_g = len(g_dims) - 1
+    n_h = len(h_dims) - 1
+    n_f = len(f_dims) - 1
+    eps_f = 1e-6
+
+    def kernel(seed_ref, z_ref, x_ref, y_ref, v_ref, *refs):
+        out_ref = refs[-1]
+        wrefs = refs[:-1]
+        g_refs = wrefs[: 2 + 3 * n_g]
+        h_refs = wrefs[2 + 3 * n_g : 4 + 3 * (n_g + n_h)]
+        f_refs = wrefs[4 + 3 * (n_g + n_h) :]
+
+        # Mosaic accepts at most two seed words: mix the grid index into the
+        # first so each row block draws an independent stream.
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 1103515245, seed_ref[1])
+
+        z = z_ref[:]
+        x = x_ref[:]
+        y = y_ref[:]
+        v = v_ref[:]
+        z0 = z[:, :d0]
+        z1 = z[:, d0 : d0 + d1]
+        z2 = z[:, d0 + d1 : d0 + d1 + d2]
+
+        g_out = _flipout_chain(z, g_refs, n_g)
+        mu_v = g_out[:, :v_dim]
+        if cfg.sigma_v is not None:
+            s_v = jnp.float32(cfg.sigma_v) ** 2
+        else:
+            s_v = jax.nn.softplus(g_out[:, v_dim]) + eps_f
+        loss_v = jnp.sum((v - mu_v) ** 2, axis=1) / (2.0 * s_v) + v_dim * jnp.log(s_v) / 2.0
+
+        h_out = _flipout_chain(jnp.concatenate([z0, z2], axis=1), h_refs, n_h)
+        mu_x = h_out[:, 0:1]
+        if cfg.binary_treatment:
+            lx = mu_x[:, 0]
+            loss_x = jnp.maximum(lx, 0.0) - lx * x[:, 0] + jnp.log1p(jnp.exp(-jnp.abs(lx)))
+        else:
+            if cfg.sigma_x is not None:
+                s_x = jnp.float32(cfg.sigma_x) ** 2
+            else:
+                s_x = jax.nn.softplus(h_out[:, 1]) + eps_f
+            loss_x = jnp.sum((x - mu_x) ** 2, axis=1) / (2.0 * s_x) + jnp.log(s_x) / 2.0
+
+        f_out = _flipout_chain(jnp.concatenate([z0, z1, x], axis=1), f_refs, n_f)
+        mu_y = f_out[:, 0:1]
+        if cfg.sigma_y is not None:
+            s_y = jnp.float32(cfg.sigma_y) ** 2
+        else:
+            s_y = jax.nn.softplus(f_out[:, 1]) + eps_f
+        loss_y = jnp.sum((y - mu_y) ** 2, axis=1) / (2.0 * s_y) + jnp.log(s_y) / 2.0
+
+        loss_prior = jnp.sum(z * z, axis=1) / 2.0
+        out_ref[:] = (loss_v + loss_x + loss_y + loss_prior)[:, None]
+
+    def fn(z, x, y, v, seed, g_flat, h_flat, f_flat):
+        n = z.shape[0]
+        n_pad = _round_up(max(n, 8), block_rows)
+        if n_pad != n:
+            pad = ((0, n_pad - n), (0, 0))
+            z = jnp.pad(z, pad)
+            x = jnp.pad(x, pad)
+            y = jnp.pad(y, pad)
+            v = jnp.pad(v, pad)
+        grid = (n_pad // block_rows,)
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed int32[2]
+            pl.BlockSpec((block_rows, z_dim), lambda i: (i, 0)),
+            pl.BlockSpec((block_rows, 1), lambda i: (i, 0)),
+            pl.BlockSpec((block_rows, 1), lambda i: (i, 0)),
+            pl.BlockSpec((block_rows, v_dim), lambda i: (i, 0)),
+        ]
+        flat = [*g_flat, *h_flat, *f_flat]
+        for p in flat:
+            if p.ndim == 2:
+                in_specs.append(pl.BlockSpec(p.shape, lambda i: (0, 0)))
+            else:
+                in_specs.append(pl.BlockSpec(p.shape, lambda i: (0,)))
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((block_rows, 1), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            interpret=interpret,
+        )(jnp.asarray(seed, jnp.int32), z, x, y, v, *flat)
+        return out[:n, 0]
+
+    return fn
+
+
+def key_to_seed(key):
+    """Fold a JAX PRNG key into the int32[2] seed the BNN kernel consumes."""
+    data = jax.random.key_data(key) if jnp.issubdtype(
+        key.dtype, jax.dtypes.prng_key) else key
+    return jax.lax.bitcast_convert_type(data.reshape(-1)[:2], jnp.int32)
 
 
 def _mlp_chain_with_preacts(h, weight_refs, n_layers):

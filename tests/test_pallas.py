@@ -10,15 +10,6 @@ from bayesgm_tpu.ops import nn
 from bayesgm_tpu.ops import pallas_kernels as pk
 
 
-def test_fused_mlp_matches_xla():
-    net = nn.init_mlp(jax.random.PRNGKey(0), 7, 11, [16, 8])
-    x = jax.random.normal(jax.random.PRNGKey(1), (100, 7))
-    fused = pk.make_fused_mlp(pk.mlp_layer_dims(net), block_rows=32, interpret=True)
-    out_p = fused(x, pk.flatten_mlp_params(net))
-    out_x = nn.mlp_apply(net, x)
-    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), rtol=1e-5, atol=1e-5)
-
-
 def _tiny_cfg(binary, sigma_v=None):
     return cb.CBGMConfig(v_dim=6, z_dims=(1, 1, 1, 2), binary_treatment=binary,
                          use_bnn=False, kl_weight=1e-4, sigma_v=sigma_v, sigma_x=None,
@@ -65,6 +56,39 @@ def test_fused_causal_logp_binary():
 
 def test_fused_causal_logp_fixed_sigma():
     _check(_tiny_cfg(binary=False, sigma_v=0.5), binary=False)
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="BNN kernel uses the on-core TPU PRNG (no interpret-mode lowering)")
+def test_fused_bnn_logp_matches_xla_in_deterministic_limit():
+    """With rho -> -inf the flipout perturbation vanishes and the fused BNN
+    kernel must agree with the XLA composite exactly.  (Stochastic-moment
+    parity and the 1.38x timing vs XLA are verified on hardware; RESULTS.md.)"""
+    cfg = cb.CBGMConfig(v_dim=6, z_dims=(1, 1, 1, 2), binary_treatment=False,
+                        use_bnn=True, kl_weight=1e-4, sigma_v=None, sigma_x=None,
+                        sigma_y=None, use_z_rec=1.0, lr=2e-4, lr_theta=1e-4,
+                        lr_z=1e-4, g_d_freq=5)
+    keys = jax.random.split(jax.random.PRNGKey(2), 3)
+    nets = {
+        "g": nn.init_flipout_mlp(keys[0], 5, 7, [16]),
+        "h": nn.init_flipout_mlp(keys[1], 2, 2, [8]),
+        "f": nn.init_flipout_mlp(keys[2], 3, 2, [8]),
+    }
+    for name in nets:
+        for layer in nets[name]["layers"]:
+            layer["rho"] = jnp.full_like(layer["rho"], -20.0)
+    n = 40
+    z = jax.random.normal(jax.random.PRNGKey(3), (n, 5))
+    x = jax.random.normal(jax.random.PRNGKey(4), (n, 1))
+    y = jax.random.normal(jax.random.PRNGKey(5), (n, 1))
+    v = jax.random.normal(jax.random.PRNGKey(6), (n, 6))
+    fused = pk.make_fused_causal_logp_bnn(
+        cfg, pk.flipout_mlp_layer_dims(nets["g"]), pk.flipout_mlp_layer_dims(nets["h"]),
+        pk.flipout_mlp_layer_dims(nets["f"]))
+    gf, hf, ff = (pk.flatten_flipout_params(nets[k]) for k in "ghf")
+    neg_p = np.asarray(fused(z, x, y, v, jnp.array([1, 2], jnp.int32), gf, hf, ff))
+    neg_x = np.asarray(cb._neg_log_posterior_rows(cfg, nets, z, x, y, v, jax.random.PRNGKey(0)))
+    np.testing.assert_allclose(neg_p, neg_x, rtol=1e-3, atol=1e-3)
 
 
 def test_pick_block_rows():
