@@ -99,11 +99,11 @@ def _latent_loss(cfg, g, g_state, z, x, key):
     return loss_px + loss_prior
 
 
-def _train_batch_step(cfg: BGMConfig, carry, idx, data_x):
-    g, g_state, opt_g, z_table, z_opt, key = carry
+def _train_batch_step(cfg: BGMConfig, carry, idx, key, data_x):
+    g, g_state, opt_g, z_table, z_opt = carry
     bx = data_x[idx]
     bz = z_table[idx]
-    key, kg, kz = jax.random.split(key, 3)
+    kg, kz = jax.random.split(key)
 
     (loss_x, (loss_mse, g_state)), grads = jax.value_and_grad(
         lambda gp: _g_loss(cfg, gp, g_state, bz, bx, kg), has_aux=True)(g)
@@ -114,7 +114,7 @@ def _train_batch_step(cfg: BGMConfig, carry, idx, data_x):
     z_table, z_opt = optim.table_adam_update_rows(z_grads, idx, z_opt, z_table, cfg.lr_z)
 
     losses = dict(loss_x=loss_x, loss_mse_x=loss_mse, loss_postrior_z=loss_post)
-    return (g, g_state, opt_g, z_table, z_opt, key), losses
+    return (g, g_state, opt_g, z_table, z_opt), losses
 
 
 # ---------------------------------------------------------------------------
@@ -264,11 +264,11 @@ class BGM:
         if p["save_res"] and not os.path.exists(self.save_dir):
             os.makedirs(self.save_dir)
 
-        latest = ckpt_lib.latest_checkpoint(self.checkpoint_path)
-        if latest is not None:
-            bundle = {"nets": self.nets, "g_state": self.g_state}
-            bundle = ckpt_lib.restore_checkpoint(latest, bundle)
-            self.nets, self.g_state = bundle["nets"], bundle["g_state"]
+        self._resume_ckpt = ckpt_lib.latest_checkpoint(self.checkpoint_path)
+        if self._resume_ckpt is not None:
+            restored = ckpt_lib.restore_checkpoint(
+                self._resume_ckpt, self._restore_template())
+            self._apply_restore(restored)
             print("Latest checkpoint restored!!")
 
     def _next_key(self, num=1):
@@ -292,6 +292,68 @@ class BGM:
         self.opt_g = optim.adam_init(self.nets["g"])
         self._opt_d = optim.adam_init({"dz": self.nets["dz"], "dx": self.nets["dx"]})
         self._opt_ge = optim.adam_init({"g": self.nets["g"], "e": self.nets["e"]})
+
+    # -- checkpointable training state --------------------------------------
+
+    def _restore_template(self):
+        return {"nets": self.nets, "g_state": self.g_state}
+
+    def _apply_restore(self, restored):
+        self.nets = restored["nets"]
+        self.g_state = restored["g_state"]
+
+    def _full_state_template(self, n):
+        z = jnp.zeros((n, self.cfg.z_dim), jnp.float32)
+        return {
+            "nets": self.nets,
+            "g_state": self.g_state,
+            "opt_g": self.opt_g,
+            "opt_d": self._opt_d,
+            "opt_ge": self._opt_ge,
+            "data_z": z,
+            "z_opt": optim.table_adam_init(z),
+            "key": self._key,
+            "epoch": jnp.zeros((), jnp.int32),
+        }
+
+    def _full_state_bundle(self, z_opt, epoch):
+        return {
+            "nets": self.nets,
+            "g_state": self.g_state,
+            "opt_g": self.opt_g,
+            "opt_d": self._opt_d,
+            "opt_ge": self._opt_ge,
+            "data_z": self.data_z,
+            "z_opt": z_opt,
+            "key": self._key,
+            "epoch": jnp.asarray(epoch, jnp.int32),
+        }
+
+    def _apply_full_state(self, state):
+        self.nets = state["nets"]
+        self.g_state = state["g_state"]
+        self.opt_g = state["opt_g"]
+        self._opt_d = state["opt_d"]
+        self._opt_ge = state["opt_ge"]
+        self.data_z = state["data_z"]
+        self._key = state["key"]
+        return state["z_opt"], int(state["epoch"])
+
+    def _try_resume(self, n):
+        """Full-state resume from the latest checkpoint (see
+        CausalBGM._try_resume); returns ``(z_opt, start_epoch)`` or None."""
+        if getattr(self, "_resume_ckpt", None) is None:
+            return None
+        if not ckpt_lib.has_group(self._resume_ckpt, "data_z"):
+            return None
+        try:
+            state = ckpt_lib.restore_checkpoint(self._resume_ckpt, self._full_state_template(n))
+        except (KeyError, ValueError) as e:
+            print(f"Full-state resume unavailable ({e}); continuing with restored weights only.")
+            return None
+        z_opt, epoch = self._apply_full_state(state)
+        print(f"Resuming training from checkpoint at epoch {epoch}.")
+        return z_opt, epoch + 1
 
     def get_config(self):
         """Return ``{"params": params}``."""
@@ -373,10 +435,14 @@ class BGM:
     # -- Fit ---------------------------------------------------------------------
 
     def fit(self, data, batch_size=32, epochs=100, epochs_per_eval=5, use_egm_init=True,
-            egm_n_iter=20000, egm_batches_per_eval=500, verbose=1):
+            egm_n_iter=20000, egm_batches_per_eval=500, verbose=1, mesh=None):
         """Train the BGM (reference fit, bgm/base.py:343-442): optional EGM
         warm-start, then per-epoch jitted scans alternating generator and
         latent updates (incomplete last batch skipped, as in the reference).
+
+        ``mesh`` row-shards the dataset, latent table, and latent Adam
+        moments over a 1-D device mesh with parameters replicated (see
+        CausalBGM.fit).
         """
         data = jnp.asarray(data, jnp.float32)
         n = data.shape[0]
@@ -386,39 +452,63 @@ class BGM:
             with open(f"{self.save_dir}/params.txt", "w") as f:
                 f.write(str(self.params))
 
-        if use_egm_init:
-            self.egm_init(data, egm_n_iter=egm_n_iter, batch_size=batch_size,
-                          egm_batches_per_eval=egm_batches_per_eval, verbose=verbose)
-            print("Initialize latent variables Z with e(V)...")
-            z_init = nn.mlp_apply(self.nets["e"], data)
+        resume = self._try_resume(n)
+        if resume is not None:
+            z_opt, start_epoch = resume
         else:
-            print("Random initialization of latent variables Z...")
-            z_init = jax.random.normal(self._next_key(), (n, cfg.z_dim))
+            start_epoch = 0
+            if use_egm_init:
+                self.egm_init(data, egm_n_iter=egm_n_iter, batch_size=batch_size,
+                              egm_batches_per_eval=egm_batches_per_eval, verbose=verbose)
+                print("Initialize latent variables Z with e(V)...")
+                z_init = nn.mlp_apply(self.nets["e"], data)
+            else:
+                print("Random initialization of latent variables Z...")
+                z_init = jax.random.normal(self._next_key(), (n, cfg.z_dim))
+            self.data_z = z_init
+            z_opt = optim.table_adam_init(self.data_z)
 
-        self.data_z = z_init
-        z_opt = optim.table_adam_init(self.data_z)
+        if mesh is not None:
+            from bayesgm_tpu.parallel import replicate, shard_rows
+
+            data = shard_rows(data, mesh)
+            self.data_z = shard_rows(self.data_z, mesh)
+            z_opt = optim.TableAdamState(
+                m=shard_rows(z_opt.m, mesh), v=shard_rows(z_opt.v, mesh),
+                t=replicate(z_opt.t, mesh))
+            self.nets = replicate(self.nets, mesh)
+            self.g_state = replicate(self.g_state, mesh)
+            self.opt_g = replicate(self.opt_g, mesh)
+
         n_full = n // batch_size
+        if n_full == 0:
+            raise ValueError(f"batch_size={batch_size} exceeds n={n}; the BGM fit "
+                             "skips incomplete batches (as the reference does).")
 
         @jax.jit
-        def epoch_fn(carry, idx_matrix):
+        def epoch_fn(carry, idx_matrix, key):
+            keys = jax.random.split(key, idx_matrix.shape[0])
             step = partial(_train_batch_step, cfg, data_x=data)
-            carry, losses = jax.lax.scan(lambda c, idx: step(c, idx), carry, idx_matrix)
+            carry, losses = jax.lax.scan(lambda c, xs: step(c, xs[0], xs[1]), carry,
+                                         (idx_matrix, keys))
             return carry, {k: v[-1] for k, v in losses.items()}
 
         self.history_loss = []
         print("Iterative Updating Starts ...")
         from tqdm import tqdm
 
-        carry = (self.nets["g"], self.g_state, self.opt_g, self.data_z, z_opt, self._next_key())
-        for epoch in tqdm(range(epochs + 1), desc="Epochs", unit="epoch", disable=not verbose):
-            perm = np.random.permutation(n)
-            idx_matrix = jnp.asarray(perm[: n_full * batch_size].reshape(n_full, batch_size))
-            carry, losses = epoch_fn(carry, idx_matrix)
+        carry = (self.nets["g"], self.g_state, self.opt_g, self.data_z, z_opt)
+        for epoch in tqdm(range(start_epoch, epochs + 1), desc="Epochs", unit="epoch",
+                          disable=not verbose):
+            k_perm, k_epoch = self._next_key(2)
+            perm = jax.random.permutation(k_perm, n)
+            idx_matrix = perm[: n_full * batch_size].reshape(n_full, batch_size)
+            carry, losses = epoch_fn(carry, idx_matrix, k_epoch)
 
             if epoch % epochs_per_eval == 0:
-                g, g_state, opt_g, z_table, z_opt, key = carry
+                g, g_state, opt_g, z_table, z_opt = carry
                 self.nets = {**self.nets, "g": g}
-                self.g_state, self.opt_g, self.data_z, self._key = g_state, opt_g, z_table, key
+                self.g_state, self.opt_g, self.data_z = g_state, opt_g, z_table
                 mse_x = float(self.evaluate(data, data_z=self.data_z))
                 self.history_loss.append(mse_x)
                 if verbose:
@@ -428,7 +518,7 @@ class BGM:
                 if self.params["save_model"]:
                     path = ckpt_lib.save_checkpoint(
                         self.checkpoint_path, epoch,
-                        {"nets": self.nets, "g_state": self.g_state}, max_to_keep=100)
+                        self._full_state_bundle(z_opt, epoch), max_to_keep=100)
                     print(f"Saving checkpoint for epoch {epoch} at {path}")
                 if self.params["save_res"]:
                     gen1, var1 = self.generate(nb_samples=5000)
@@ -438,9 +528,9 @@ class BGM:
                              z=np.asarray(self.data_z), var1=np.asarray(var1),
                              var12=np.asarray(var12))
 
-        g, g_state, opt_g, z_table, z_opt, key = carry
+        g, g_state, opt_g, z_table, z_opt = carry
         self.nets = {**self.nets, "g": g}
-        self.g_state, self.opt_g, self.data_z, self._key = g_state, opt_g, z_table, key
+        self.g_state, self.opt_g, self.data_z = g_state, opt_g, z_table
 
     # -- Evaluation / generation ---------------------------------------------------
 
@@ -529,15 +619,26 @@ class BGM:
         return -(loss_prior + loss_px)
 
     def tfp_mcmc_sampler(self, data, ind_x1=None, n_mcmc=3000, burn_in=5000,
-                         step_size=0.01, num_leapfrog_steps=10, seed=42, collect=None):
+                         step_size=0.01, num_leapfrog_steps=10, seed=42, collect=None,
+                         mesh=None):
         """HMC over p(Z | X_obs): n independent chains, adaptive step size
         over the first 80% of burn-in toward 0.75 acceptance (reference
         bgm/base.py:709-830).  Returns (n_mcmc, n, z_dim) samples, or the
-        collected statistics when ``collect`` is given."""
+        collected statistics when ``collect`` is given.  ``mesh`` shards the
+        chains (data rows + state) over the device mesh."""
         data_np = np.asarray(data, np.float32)
         data_dev = jnp.asarray(data_np)
         ind_mat, obs_mask = self._prep_obs_indices(data_np, ind_x1)
         cfg, nets, g_state = self.cfg, self.nets, self.g_state
+        if mesh is not None:
+            from bayesgm_tpu.parallel import replicate, shard_rows
+
+            data_dev = shard_rows(data_dev, mesh)
+            if ind_mat is not None:
+                ind_mat = shard_rows(ind_mat, mesh)
+                obs_mask = shard_rows(obs_mask, mesh)
+            nets = replicate(nets, mesh)
+            g_state = replicate(g_state, mesh)
 
         def log_prob(z, key):
             mu, sigma_sq, _ = _g_apply(cfg, nets["g"], g_state, z, key, train=False)
@@ -552,27 +653,35 @@ class BGM:
             return -(dist.standard_normal_neg_log_prior(z) + loss_px)
 
         init = jax.random.normal(jax.random.PRNGKey(seed), (data_np.shape[0], cfg.z_dim))
+        if mesh is not None:
+            from bayesgm_tpu.parallel import shard_rows
+
+            init = shard_rows(init, mesh)
         res = mcmc.hmc(log_prob, init, self._next_key(), burn_in=burn_in, n_keep=n_mcmc,
                        step_size=step_size, num_leapfrog=num_leapfrog_steps, collect=collect)
         print(f"TPU HMC Acceptance Rate: {float(res.accept_rate):.4f}")
         return res.samples
 
     def predict(self, data, alpha=0.05, return_samples=False, bs=100, n_mcmc=5000,
-                burn_in=5000, step_size=0.01, num_leapfrog_steps=10, seed=42):
+                burn_in=5000, step_size=0.01, num_leapfrog_steps=10, seed=42,
+                mesh=None):
         """Posterior prediction with NaN-encoded missing data (reference
         bgm/base.py:527-663).
 
         Returns imputed data + per-missing-dim intervals, or the full
         posterior-predictive cube when ``return_samples=True``.  The decode
         is fused into the HMC scan: each kept step directly emits a
-        reparameterized x draw.
+        reparameterized x draw.  Subjects are processed in batches of ``bs``
+        (reference contract bgm/base.py:630): per-sample posterior
+        statistics are exact under batching since every chain is independent;
+        batching bounds the host-side (n_mcmc, bs, x_dim) sample cube.
         """
         assert 0 < alpha < 1, "The significance level 'alpha' must be greater than 0 and less than 1."
         data_np = np.asarray(data, np.float32)
         n = data_np.shape[0]
+        bs = max(1, int(bs))
         is_nan = np.isnan(data_np)
         data_clean = np.nan_to_num(data_np, nan=0.0)
-        ind_x1_list = [np.where(~row)[0].tolist() for row in is_nan]
 
         cfg, nets, g_state = self.cfg, self.nets, self.g_state
 
@@ -581,10 +690,16 @@ class BGM:
             mu, sigma_sq, _ = _g_apply(cfg, nets["g"], g_state, z, k1, train=False)
             return nn.reparameterize(k2, mu, sigma_sq)
 
-        data_x_pred_all = np.asarray(self.tfp_mcmc_sampler(
-            data=data_clean, ind_x1=ind_x1_list, n_mcmc=n_mcmc, burn_in=burn_in,
-            step_size=step_size, num_leapfrog_steps=num_leapfrog_steps, seed=seed,
-            collect=decode))  # (n_mcmc, n, x_dim)
+        cubes = []
+        for start in range(0, n, bs):
+            end = min(start + bs, n)
+            ind_x1_list = [np.where(~row)[0].tolist() for row in is_nan[start:end]]
+            cubes.append(np.asarray(self.tfp_mcmc_sampler(
+                data=data_clean[start:end], ind_x1=ind_x1_list, n_mcmc=n_mcmc,
+                burn_in=burn_in, step_size=step_size,
+                num_leapfrog_steps=num_leapfrog_steps, seed=seed, collect=decode,
+                mesh=mesh)))
+        data_x_pred_all = np.concatenate(cubes, axis=1)  # (n_mcmc, n, x_dim)
 
         miss_mask = is_nan
         same_pattern = bool(np.all(miss_mask == miss_mask[0]))

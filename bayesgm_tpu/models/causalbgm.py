@@ -178,15 +178,18 @@ def _latent_loss(cfg, nets, z, x, y, v, key):
 # ---------------------------------------------------------------------------
 
 
-def _train_batch_step(cfg: CBGMConfig, carry, idx, data):
+def _train_batch_step(cfg: CBGMConfig, carry, idx, key, data):
     """One iterative-updating step: g/h/f Adam updates on the batch's current
     Z rows, then a row-sparse Adam step on the latent table
-    (fit driver, base.py:493-505)."""
-    nets, opts, z_table, z_opt, key = carry
+    (fit driver, base.py:493-505).
+
+    The per-batch PRNG key comes in as scan input (not carry) so the whole
+    training state is the externally-checkpointable carry pytree."""
+    nets, opts, z_table, z_opt = carry
     x, y, v = data
     bx, by, bv = x[idx], y[idx], v[idx]
     bz = z_table[idx]
-    key, kg, kh, kf, kz = jax.random.split(key, 5)
+    kg, kh, kf, kz = jax.random.split(key, 4)
 
     (loss_v, mse_v), g_grads = jax.value_and_grad(
         lambda g: _loss_v(cfg, g, bz, bv, kg), has_aux=True)(nets["g"])
@@ -209,7 +212,7 @@ def _train_batch_step(cfg: CBGMConfig, carry, idx, data):
 
     losses = dict(loss_v=loss_v, mse_v=mse_v, loss_x=loss_x, mse_x=mse_x,
                   loss_y=loss_y, mse_y=mse_y, loss_postrior_z=loss_post)
-    return (nets, opts, z_table, z_opt, key), losses
+    return (nets, opts, z_table, z_opt), losses
 
 
 def _egm_disc_step(cfg: CBGMConfig, nets, opt_d, z, v, key):
@@ -441,6 +444,7 @@ class CausalBGM:
         self.data_z = None
         self.best_causal_pre = None
         self.best_epoch = None
+        self.best_nets = None  # snapshot of nets at the best-mse_y eval
 
         self.timestamp = timestamp
         if self.timestamp is None:
@@ -457,10 +461,14 @@ class CausalBGM:
             os.makedirs(self.save_dir)
 
         # Auto-restore the latest checkpoint, like the reference
-        # (base.py:126-128).
-        latest = ckpt_lib.latest_checkpoint(self.checkpoint_path)
-        if latest is not None:
-            self.nets = ckpt_lib.restore_checkpoint(latest, self.nets)
+        # (base.py:126-128).  Network weights restore immediately; the rest
+        # of the training state (optimizers, latent table, PRNG key) has
+        # data-dependent shapes and is restored by fit() via _try_resume.
+        self._resume_ckpt = ckpt_lib.latest_checkpoint(self.checkpoint_path)
+        if self._resume_ckpt is not None:
+            restored = ckpt_lib.restore_checkpoint(
+                self._resume_ckpt, self._restore_template())
+            self._apply_restore(restored)
             print("Latest checkpoint restored!!")
 
     # -- construction -----------------------------------------------------
@@ -492,6 +500,14 @@ class CausalBGM:
         self._opt_d = optim.adam_init(self.nets["dz"])
         sub = {k: self.nets[k] for k in ("g", "e", "f", "h")}
         self._opt_ge = optim.adam_init(sub)
+
+    def _restore_template(self):
+        """Subtree of the full-state bundle that is restorable before data
+        shapes are known (subclasses add their extra nets)."""
+        return {"nets": self.nets}
+
+    def _apply_restore(self, restored):
+        self.nets = restored["nets"]
 
     def get_config(self):
         """Return ``{"params": params}`` (reference base.py:130-142)."""
@@ -580,14 +596,114 @@ class CausalBGM:
 
     # -- Iterative updating --------------------------------------------------
 
+    # -- checkpointable training state --------------------------------------
+
+    def _full_state_template(self, n):
+        """Pytree template for the full training state saved at each eval
+        (one schema per model class; subclasses extend it)."""
+        z = jnp.zeros((n, sum(self.cfg.z_dims)), jnp.float32)
+        causal_shape = (n, 1) if self.cfg.binary_treatment else (200,)
+        return {
+            "nets": self.nets,
+            "opts": self.opts,
+            "opt_d": self._opt_d,
+            "opt_ge": self._opt_ge,
+            "data_z": z,
+            "z_opt": optim.table_adam_init(z),
+            "key": self._key,
+            "epoch": jnp.zeros((), jnp.int32),
+            "best_loss": jnp.zeros((), jnp.float32),
+            "best_epoch": jnp.zeros((), jnp.int32),
+            "best_causal_pre": jnp.zeros(causal_shape, jnp.float32),
+            "best_nets": self.nets,
+        }
+
+    def _full_state_bundle(self, z_opt, epoch, best_loss):
+        zero_pre = self._full_state_template(self.data_z.shape[0])["best_causal_pre"]
+        return {
+            "nets": self.nets,
+            "opts": self.opts,
+            "opt_d": self._opt_d,
+            "opt_ge": self._opt_ge,
+            "data_z": self.data_z,
+            "z_opt": z_opt,
+            "key": self._key,
+            "epoch": jnp.asarray(epoch, jnp.int32),
+            "best_loss": jnp.asarray(best_loss, jnp.float32),
+            "best_epoch": jnp.asarray(self.best_epoch or 0, jnp.int32),
+            "best_causal_pre": (zero_pre if self.best_causal_pre is None
+                                else jnp.asarray(self.best_causal_pre).reshape(zero_pre.shape)),
+            "best_nets": self.best_nets if self.best_nets is not None else self.nets,
+        }
+
+    def _apply_full_state(self, state):
+        self.nets = state["nets"]
+        self.opts = state["opts"]
+        self._opt_d = state["opt_d"]
+        self._opt_ge = state["opt_ge"]
+        self.data_z = state["data_z"]
+        self._key = state["key"]
+        self.best_epoch = int(state["best_epoch"])
+        self.best_causal_pre = np.asarray(state["best_causal_pre"])
+        self.best_nets = state["best_nets"]
+        return state["z_opt"], int(state["epoch"]), float(state["best_loss"])
+
+    def _try_resume(self, n):
+        """Restore full training state from the latest checkpoint if present.
+
+        Returns ``(z_opt, start_epoch, best_loss)`` or None.  Mirrors the
+        reference's silent auto-restore (base.py:126-128) but resumes the
+        *entire* state — optimizers, latent table + moments, PRNG key — so
+        the continued run reproduces the uninterrupted trajectory.
+        """
+        if getattr(self, "_resume_ckpt", None) is None:
+            return None
+        if not ckpt_lib.has_group(self._resume_ckpt, "data_z"):
+            return None  # weights-only checkpoint: nets were restored in __init__
+        try:
+            state = ckpt_lib.restore_checkpoint(self._resume_ckpt, self._full_state_template(n))
+        except (KeyError, ValueError) as e:
+            print(f"Full-state resume unavailable ({e}); continuing with restored weights only.")
+            return None
+        z_opt, epoch, best_loss = self._apply_full_state(state)
+        print(f"Resuming training from checkpoint at epoch {epoch}.")
+        return z_opt, epoch + 1, best_loss
+
+    def _shard_training_state(self, mesh, data, z_opt):
+        """Row-shard the (n, ...) arrays (data, latent table, Adam moments)
+        over ``mesh`` and replicate parameters/optimizers.  The jitted epoch
+        scan then runs under GSPMD: the latent table and its moments never
+        leave their shards (row-local update), minibatch gathers ride XLA
+        collectives, and numerics match the single-device path
+        (tests/test_parallel.py)."""
+        from bayesgm_tpu.parallel import replicate, shard_rows
+
+        data = tuple(shard_rows(a, mesh) for a in data)
+        self.data_z = shard_rows(self.data_z, mesh)
+        z_opt = optim.TableAdamState(
+            m=shard_rows(z_opt.m, mesh), v=shard_rows(z_opt.v, mesh),
+            t=replicate(z_opt.t, mesh))
+        self.nets = replicate(self.nets, mesh)
+        self.opts = replicate(self.opts, mesh)
+        return data, z_opt
+
     def fit(self, data, epochs=100, epochs_per_eval=5, batch_size=32, startoff=0,
             use_egm_init=True, egm_n_iter=30000, egm_batches_per_eval=500,
-            save_format="txt", verbose=1):
+            save_format="txt", verbose=1, mesh=None):
         """Train with optional EGM warm-start then iterative Gibbs-style
         updating (reference fit, base.py:434-532).
 
         Each epoch is one jitted ``lax.scan`` over shuffled mini-batches with
-        the latent table resident on device.
+        the latent table resident on device.  When ``save_model`` is on, the
+        FULL training state is checkpointed at every eval epoch and a later
+        re-instantiation with the same checkpoint dir resumes exactly.
+
+        ``mesh`` (a 1-D ``jax.sharding.Mesh``, e.g. ``parallel.make_mesh()``)
+        trains with the dataset, latent table, and latent Adam moments
+        row-sharded and parameters replicated.  The big wins are memory (the
+        (n, z_dim) state scales with the mesh) and the full-data eval; for
+        maximum multi-chip training throughput use the full-batch step in
+        ``parallel.sharded`` (one global batch per step, zero gather traffic).
         """
         data = tuple(jnp.asarray(d, jnp.float32) for d in data)
         data_x, data_y, data_v = data
@@ -598,17 +714,24 @@ class CausalBGM:
             with open(f"{self.save_dir}/params.txt", "w") as f:
                 f.write(str(self.params))
 
-        if use_egm_init:
-            self.egm_init(data, egm_n_iter=egm_n_iter, batch_size=batch_size,
-                          egm_batches_per_eval=egm_batches_per_eval, verbose=verbose)
-            print("Initialize latent variables Z with e(V)...")
-            z_init = _apply(cfg, self.nets["e"], data_v, self._next_key())
+        resume = self._try_resume(n)
+        if resume is not None:
+            z_opt, start_epoch, best_loss = resume
         else:
-            print("Random initialization of latent variables Z...")
-            z_init = jax.random.normal(self._next_key(), (n, sum(cfg.z_dims)))
+            start_epoch, best_loss = 0, np.inf
+            if use_egm_init:
+                self.egm_init(data, egm_n_iter=egm_n_iter, batch_size=batch_size,
+                              egm_batches_per_eval=egm_batches_per_eval, verbose=verbose)
+                print("Initialize latent variables Z with e(V)...")
+                z_init = _apply(cfg, self.nets["e"], data_v, self._next_key())
+            else:
+                print("Random initialization of latent variables Z...")
+                z_init = jax.random.normal(self._next_key(), (n, sum(cfg.z_dims)))
+            self.data_z = z_init
+            z_opt = optim.table_adam_init(self.data_z)
 
-        self.data_z = z_init
-        z_opt = optim.table_adam_init(self.data_z)
+        if mesh is not None:
+            data, z_opt = self._shard_training_state(mesh, data, z_opt)
 
         n_full = n // batch_size
         remainder = n - n_full * batch_size
@@ -616,21 +739,26 @@ class CausalBGM:
         epoch_fn = jax.jit(partial(self._train_epoch, cfg))
         rem_fn = jax.jit(partial(_train_batch_step, cfg)) if remainder else None
 
-        best_loss = np.inf
         print("Iterative Updating Starts ...")
         from tqdm import tqdm
 
-        carry = (self.nets, self.opts, self.data_z, z_opt, self._next_key())
-        for epoch in tqdm(range(epochs + 1), desc="Epochs", unit="epoch", disable=not verbose):
-            perm = np.random.permutation(n)
-            idx_full = jnp.asarray(perm[: n_full * batch_size].reshape(n_full, batch_size))
-            carry, losses = epoch_fn(carry, idx_full, data)
+        carry = (self.nets, self.opts, self.data_z, z_opt)
+        for epoch in tqdm(range(start_epoch, epochs + 1), desc="Epochs", unit="epoch",
+                          disable=not verbose):
+            # Shuffling and per-batch randomness are both drawn from the
+            # model's key chain, so a resumed run replays the same stream.
+            k_perm, k_epoch = self._next_key(2)
+            perm = jax.random.permutation(k_perm, n)
+            if n_full:  # n < batch_size -> remainder-only epoch
+                idx_full = perm[: n_full * batch_size].reshape(n_full, batch_size)
+                carry, losses = epoch_fn(carry, idx_full, k_epoch, data)
             if remainder:
-                idx_rem = jnp.asarray(perm[n_full * batch_size :])
-                carry, losses = rem_fn(carry, idx_rem, data)
+                k_rem = self._next_key()
+                idx_rem = perm[n_full * batch_size :]
+                carry, losses = rem_fn(carry, idx_rem, k_rem, data)
 
             if epoch % epochs_per_eval == 0:
-                self.nets, self.opts, self.data_z, z_opt, self._key = carry
+                self.nets, self.opts, self.data_z, z_opt = carry
                 causal_pre, mse_x, mse_y, mse_v = self.evaluate(data, self.data_z)
                 causal_pre = np.asarray(causal_pre)
                 mse_y = float(mse_y)
@@ -644,18 +772,23 @@ class CausalBGM:
                     best_loss = mse_y
                     self.best_causal_pre = causal_pre
                     self.best_epoch = epoch
-                    if self.params["save_model"]:
-                        path = ckpt_lib.save_checkpoint(self.checkpoint_path, epoch, self.nets)
-                        print(f"Saving checkpoint for epoch {epoch} at {path}")
+                    self.best_nets = self.nets
+                if self.params["save_model"]:
+                    path = ckpt_lib.save_checkpoint(
+                        self.checkpoint_path, epoch,
+                        self._full_state_bundle(z_opt, epoch, best_loss))
+                    print(f"Saving checkpoint for epoch {epoch} at {path}")
                 if self.params["save_res"]:
                     save_data(f"{self.save_dir}/causal_pre_at_{epoch}.{save_format}", causal_pre)
 
-        self.nets, self.opts, self.data_z, z_opt, self._key = carry
+        self.nets, self.opts, self.data_z, z_opt = carry
 
     @staticmethod
-    def _train_epoch(cfg, carry, idx_matrix, data):
+    def _train_epoch(cfg, carry, idx_matrix, key, data):
+        keys = jax.random.split(key, idx_matrix.shape[0])
         step = partial(_train_batch_step, cfg, data=data)
-        carry, losses = jax.lax.scan(lambda c, idx: step(c, idx), carry, idx_matrix)
+        carry, losses = jax.lax.scan(lambda c, xs: step(c, xs[0], xs[1]), carry,
+                                     (idx_matrix, keys))
         return carry, {k: val[-1] for k, val in losses.items()}
 
     # -- Evaluation -----------------------------------------------------------
@@ -689,7 +822,7 @@ class CausalBGM:
         args = [jnp.asarray(a, jnp.float32) for a in (data_x, data_y, data_v, data_z)]
         return -_neg_log_posterior_rows(self.cfg, self.nets, args[3], args[0], args[1], args[2], key)
 
-    def _make_log_prob(self, data_x, data_y, data_v, differentiable=False):
+    def _make_log_prob(self, data_x, data_y, data_v, differentiable=False, nets=None):
         """MH log-target over Z.  Non-Bayesian nets on TPU use the fully
         fused Pallas kernel (ops/pallas_kernels.py, ~1.7x the XLA path);
         flipout nets and CPU runs use the XLA composite.  With
@@ -697,15 +830,42 @@ class CausalBGM:
         whose backward differentiates the XLA composite (the hand-written
         kernel defines no VJP), so gradient-based samplers still get the fast
         forward."""
-        cfg, nets = self.cfg, self.nets
+        cfg = self.cfg
+        nets = self.nets if nets is None else nets
 
         def xla_log_prob(z, key):
             return -_neg_log_posterior_rows(cfg, nets, z, data_x, data_y, data_v, key)
 
-        if cfg.use_bnn:
-            return xla_log_prob
-
         from bayesgm_tpu.ops import pallas_kernels as pk
+
+        if cfg.use_bnn:
+            # Default configuration: the flipout posterior runs in the fused
+            # BNN kernel (all weight noise drawn by the on-core PRNG).  No
+            # hand-written VJP yet, and interpret mode has no TPU PRNG, so
+            # gradient samplers and CPU runs use the XLA composite.
+            if differentiable or not pk.on_tpu():
+                return xla_log_prob
+            try:
+                fused = pk.make_fused_causal_logp_bnn(
+                    cfg, pk.flipout_mlp_layer_dims(nets["g"]),
+                    pk.flipout_mlp_layer_dims(nets["h"]),
+                    pk.flipout_mlp_layer_dims(nets["f"]))
+                gf = pk.flatten_flipout_params(nets["g"])
+                hf = pk.flatten_flipout_params(nets["h"])
+                ff = pk.flatten_flipout_params(nets["f"])
+
+                def fused_bnn_log_prob(z, key):
+                    return -fused(z, data_x, data_y, data_v, pk.key_to_seed(key),
+                                  gf, hf, ff)
+
+                return fused_bnn_log_prob
+            except Exception as e:  # pragma: no cover - pallas unavailable
+                import warnings
+
+                warnings.warn(
+                    f"Fused BNN Pallas log-posterior unavailable "
+                    f"({type(e).__name__}: {e}); using the XLA composite.")
+                return xla_log_prob
 
         try:
             fused = pk.make_fused_causal_logp(
@@ -741,7 +901,14 @@ class CausalBGM:
 
             log_prob.defvjp(fwd, bwd)
             return log_prob
-        except Exception:  # pragma: no cover - pallas unavailable
+        except Exception as e:  # pragma: no cover - pallas unavailable
+            # Fall back loudly: a shape/dim bug in the kernel build must not
+            # silently degrade to the XLA path.
+            import warnings
+
+            warnings.warn(
+                f"Fused Pallas log-posterior unavailable "
+                f"({type(e).__name__}: {e}); using the XLA composite.")
             return xla_log_prob
 
     def metropolis_hastings_sampler(self, data, initial_q_sd=1.0, q_sd=None, burn_in=5000,
@@ -787,7 +954,8 @@ class CausalBGM:
         return np.asarray(out).T  # (len(x_values), n_keep)
 
     def predict(self, data, alpha=0.01, n_mcmc=3000, burn_in=5000, x_values=None,
-                q_sd=1.0, sample_y=True, bs=10000, sampler="mh"):
+                q_sd=1.0, sample_y=True, bs=10000, sampler="mh",
+                use_best_nets=False, mesh=None):
         """Causal effects with posterior intervals from latent MCMC
         (reference predict, base.py:573-668).
 
@@ -797,6 +965,19 @@ class CausalBGM:
         draws come back to the host.  ``sampler="mala"`` switches to
         gradient-informed Langevin proposals (better mixing on concentrated
         posteriors; not in the reference).
+
+        Note: with continuous treatment and ``n_test > bs``, per-batch ADRF
+        draws from independent chains are averaged pointwise by draw index —
+        an approximation to the reference's single full-data chain that can
+        narrow the posterior intervals (cross-batch draw alignment is
+        arbitrary); the point estimate is unaffected.  Raise ``bs`` to cover
+        all subjects in one chain when exact intervals matter.
+
+        ``mesh`` shards the per-subject chains (init state + data rows) over
+        the device mesh — MCMC inference is embarrassingly parallel in
+        subjects, so chains scale linearly with chips; the only cross-chip
+        traffic is the scalar windowed acceptance rate and the final effect
+        reductions.
         """
         assert 0 < alpha < 1, "The significance level 'alpha' must be greater than 0 and less than 1."
         cfg = self.cfg
@@ -810,7 +991,10 @@ class CausalBGM:
         data_x, data_y, data_v = [np.asarray(a, dtype=np.float32) for a in data]
         n_test = len(data_x)
         bs = max(1, int(bs))
-        nets = self.nets
+        # use_best_nets: infer with the best-mse_y epoch's snapshot instead
+        # of the final nets (the reference always predicts with final nets;
+        # best-epoch selection is an accuracy lever measured in RESULTS.md).
+        nets = self.best_nets if (use_best_nets and self.best_nets is not None) else self.nets
 
         adaptive = q_sd is None or q_sd <= 0
         q0 = 1.0 if adaptive else float(q_sd)
@@ -818,10 +1002,21 @@ class CausalBGM:
         print("MCMC Latent Variable Sampling ...")
         collect = _effect_collector(cfg, nets, x_values, sample_y)
 
+        if mesh is not None:
+            from bayesgm_tpu.parallel import replicate
+
+            nets = replicate(nets, mesh)
+
         def run_batch(bx, by, bv):
             bx, by, bv = jnp.asarray(bx), jnp.asarray(by), jnp.asarray(bv)
-            log_prob = self._make_log_prob(bx, by, bv, differentiable=(sampler == "mala"))
             init = jax.random.normal(self._next_key(), (bx.shape[0], sum(cfg.z_dims)))
+            if mesh is not None:
+                from bayesgm_tpu.parallel import shard_rows
+
+                bx, by, bv, init = (shard_rows(a, mesh) for a in (bx, by, bv, init))
+            log_prob = self._make_log_prob(bx, by, bv,
+                                           differentiable=(sampler == "mala"),
+                                           nets=nets)
             if sampler == "mala":
                 # Gradient-informed Langevin proposals (beyond-reference):
                 # adapts toward the MALA-optimal ~0.574 acceptance.

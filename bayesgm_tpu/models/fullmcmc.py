@@ -167,10 +167,10 @@ class FullMCMCCausalBGM(cb.CausalBGM):
         n_w = g_s.shape[0]
 
         def log_prob(z, key):
-            # NOTE: within one MH step, adaptive_mh evaluates proposed and
-            # current state with *different* keys; the reference uses the same
-            # weight draw for both.  We fold the index choice from the step
-            # key so both evaluations in a step share the weight sample.
+            # adaptive_mh is run with shared_eval_key=True, so within one MH
+            # step the proposed and current evaluations receive the SAME key
+            # and therefore the same weight-sample index — matching the
+            # reference's one rand_idx per step (fullmcmc.py:443-452).
             idx = jax.random.randint(jax.random.fold_in(key, 0), (), 0, n_w)
             return -self._neg_log_posterior_with_weights(
                 z, x, y, v, g_s[idx], h_s[idx], f_s[idx])
@@ -204,7 +204,9 @@ class FullMCMCCausalBGM(cb.CausalBGM):
             burn_in=burn_in, n_keep=n_keep, q_sd=float(q0), adaptive=bool(adaptive_sd),
             target_rate=target_acceptance_rate, tolerance=tolerance,
             adjustment_interval=adjustment_interval, window_size=window_size,
-            recompute_current=True)  # weights change per step -> recompute
+            # weights change per step -> recompute the current logp, with one
+            # shared weight draw for both sides of the accept ratio
+            recompute_current=True, shared_eval_key=True)
         print(f"Final MCMC Acceptance Rate: {float(res.accept_rate):.4f}")
         return np.asarray(res.samples)
 
@@ -216,7 +218,8 @@ class FullMCMCCausalBGM(cb.CausalBGM):
         cfg = self.cfg
         z_draws = jnp.asarray(data_posterior_z, jnp.float32)
         if f_net_weights is None:
-            idx = np.random.randint(0, self.f_net_samples.shape[0], size=z_draws.shape[0])
+            idx = np.asarray(jax.random.randint(
+                self._next_key(), (z_draws.shape[0],), 0, self.f_net_samples.shape[0]))
             f_net_weights = self.f_net_samples[idx]
         f_w = jnp.asarray(f_net_weights)
         unravel_f = self._unravel["f"]

@@ -57,13 +57,13 @@ def _ivae_latent_loss(cfg, nets, prior_net, z, x, y, v, u, key, kl_weight):
     return loss
 
 
-def _ivae_train_batch_step(cfg, kl_weight, carry, idx, data, data_u):
+def _ivae_train_batch_step(cfg, kl_weight, carry, idx, key, data, data_u):
     """g/h/f updates + joint (Z, prior_net) update (identifiable.py:303-323)."""
-    nets, opts, prior_net, prior_opt, z_table, z_opt, key = carry
+    nets, opts, prior_net, prior_opt, z_table, z_opt = carry
     x, y, v = data
     bx, by, bv, bu = x[idx], y[idx], v[idx], data_u[idx]
     bz = z_table[idx]
-    key, kg, kh, kf, kz = jax.random.split(key, 5)
+    kg, kh, kf, kz = jax.random.split(key, 4)
 
     (loss_v, mse_v), g_grads = jax.value_and_grad(
         lambda g: cb._loss_v(cfg, g, bz, bv, kg), has_aux=True)(nets["g"])
@@ -90,7 +90,7 @@ def _ivae_train_batch_step(cfg, kl_weight, carry, idx, data, data_u):
 
     losses = dict(loss_v=loss_v, mse_v=mse_v, loss_x=loss_x, mse_x=mse_x,
                   loss_y=loss_y, mse_y=mse_y, loss_postrior_z=loss_post)
-    return (nets, opts, prior_net, prior_opt, z_table, z_opt, key), losses
+    return (nets, opts, prior_net, prior_opt, z_table, z_opt), losses
 
 
 def _ivae_evaluate(cfg, nets, data, z, key, nb_intervals=200):
@@ -151,64 +151,118 @@ class IdentifiableCausalBGM(cb.CausalBGM):
         self._prior_opt = optim.adam_init(self.prior_net)
 
     def _sample_u(self, n):
-        """One-hot random segment assignments (identifiable.py:277-280)."""
-        seg = np.random.randint(0, self.params["n_segments"], size=n)
-        return jnp.asarray(np.eye(self.params["n_segments"], dtype="float32")[seg])
+        """One-hot random segment assignments (identifiable.py:277-280), drawn
+        from the model's PRNG key chain for deterministic resume."""
+        k = self.params["n_segments"]
+        seg = np.asarray(jax.random.randint(self._next_key(), (n,), 0, k))
+        return jnp.asarray(np.eye(k, dtype="float32")[seg])
+
+    # -- checkpointable training state --------------------------------------
+
+    def _restore_template(self):
+        return {"nets": self.nets, "prior_net": self.prior_net}
+
+    def _apply_restore(self, restored):
+        self.nets = restored["nets"]
+        self.prior_net = restored["prior_net"]
+
+    def _full_state_template(self, n):
+        tmpl = super()._full_state_template(n)
+        tmpl["prior_net"] = self.prior_net
+        tmpl["prior_opt"] = self._prior_opt
+        tmpl["data_u"] = jnp.zeros((n, self.params["n_segments"]), jnp.float32)
+        return tmpl
+
+    def _full_state_bundle(self, z_opt, epoch, best_loss):
+        bundle = super()._full_state_bundle(z_opt, epoch, best_loss)
+        bundle["prior_net"] = self.prior_net
+        bundle["prior_opt"] = self._prior_opt
+        bundle["data_u"] = self.data_u
+        return bundle
+
+    def _apply_full_state(self, state):
+        self.prior_net = state["prior_net"]
+        self._prior_opt = state["prior_opt"]
+        self.data_u = state["data_u"]
+        return super()._apply_full_state(state)
 
     def fit(self, data, batch_size=32, epochs=100, epochs_per_eval=5, startoff=0,
             use_egm_init=True, egm_n_iter=30000, egm_batches_per_eval=500,
-            verbose=1, save_format="txt"):
+            verbose=1, save_format="txt", mesh=None):
         """Train with auxiliary U and the conditional prior
         (identifiable.py:232-348).  Skips the incomplete last batch, as the
-        reference does."""
+        reference does.  ``mesh`` row-shards data/U/latent state (see
+        CausalBGM.fit)."""
         data = tuple(jnp.asarray(d, jnp.float32) for d in data)
         data_x, data_y, data_v = data
         n = data_x.shape[0]
         cfg = self.cfg
 
-        print(f"Generating auxiliary variable U for {self.params['n_segments']} segments.")
-        data_u = self._sample_u(n)
-        self.data_u = data_u
-
         if self.params["save_res"]:
             with open(f"{self.save_dir}/params.txt", "w") as f:
                 f.write(str(self.params))
 
-        if use_egm_init:
-            self.egm_init(data, egm_n_iter=egm_n_iter, batch_size=batch_size,
-                          egm_batches_per_eval=egm_batches_per_eval, verbose=verbose)
-            print("Initialize latent variables Z with e(V)...")
-            z_init = cb._apply(cfg, self.nets["e"], data_v, self._next_key())
+        resume = self._try_resume(n)
+        if resume is not None:
+            z_opt, start_epoch, best_loss = resume
+            data_u = self.data_u
         else:
-            print("Random initialization of latent variables Z...")
-            z_init = jax.random.normal(self._next_key(), (n, sum(cfg.z_dims)))
+            start_epoch, best_loss = 0, np.inf
+            print(f"Generating auxiliary variable U for {self.params['n_segments']} segments.")
+            data_u = self._sample_u(n)
+            self.data_u = data_u
+            if use_egm_init:
+                self.egm_init(data, egm_n_iter=egm_n_iter, batch_size=batch_size,
+                              egm_batches_per_eval=egm_batches_per_eval, verbose=verbose)
+                print("Initialize latent variables Z with e(V)...")
+                z_init = cb._apply(cfg, self.nets["e"], data_v, self._next_key())
+            else:
+                print("Random initialization of latent variables Z...")
+                z_init = jax.random.normal(self._next_key(), (n, sum(cfg.z_dims)))
+            self.data_z = z_init
+            z_opt = optim.table_adam_init(self.data_z)
 
-        self.data_z = z_init
-        z_opt = optim.table_adam_init(self.data_z)
+        if mesh is not None:
+            from bayesgm_tpu.parallel import replicate, shard_rows
+
+            data, z_opt = self._shard_training_state(mesh, data, z_opt)
+            data_u = shard_rows(data_u, mesh)
+            self.data_u = data_u
+            self.prior_net = replicate(self.prior_net, mesh)
+            self._prior_opt = replicate(self._prior_opt, mesh)
+
         n_full = n // batch_size
+        if n_full == 0:
+            raise ValueError(
+                f"batch_size={batch_size} exceeds n={n}; the identifiable fit "
+                "skips incomplete batches (as the reference does), so no "
+                "updates would run.")
 
         step = partial(_ivae_train_batch_step, cfg, float(self.params["kl_weight"]))
 
         @jax.jit
-        def epoch_fn(carry, idx_matrix):
+        def epoch_fn(carry, idx_matrix, key):
+            keys = jax.random.split(key, idx_matrix.shape[0])
             carry, losses = jax.lax.scan(
-                lambda c, idx: step(c, idx, data, data_u), carry, idx_matrix)
+                lambda c, xs: step(c, xs[0], xs[1], data, data_u), carry,
+                (idx_matrix, keys))
             return carry, {k: v[-1] for k, v in losses.items()}
 
-        best_loss = np.inf
         print("Iterative Updating Starts ...")
         from tqdm import tqdm
 
         carry = (self.nets, self.opts, self.prior_net, self._prior_opt,
-                 self.data_z, z_opt, self._next_key())
-        for epoch in tqdm(range(epochs + 1), desc="Epochs", unit="epoch", disable=not verbose):
-            perm = np.random.permutation(n)
-            idx_matrix = jnp.asarray(perm[: n_full * batch_size].reshape(n_full, batch_size))
-            carry, losses = epoch_fn(carry, idx_matrix)
+                 self.data_z, z_opt)
+        for epoch in tqdm(range(start_epoch, epochs + 1), desc="Epochs", unit="epoch",
+                          disable=not verbose):
+            k_perm, k_epoch = self._next_key(2)
+            perm = jax.random.permutation(k_perm, n)
+            idx_matrix = perm[: n_full * batch_size].reshape(n_full, batch_size)
+            carry, losses = epoch_fn(carry, idx_matrix, k_epoch)
 
             if epoch % epochs_per_eval == 0:
                 (self.nets, self.opts, self.prior_net, self._prior_opt,
-                 self.data_z, z_opt, self._key) = carry
+                 self.data_z, z_opt) = carry
                 causal_pre, mse_x, mse_y, mse_v, *_ = self.evaluate(data, self.data_z)
                 causal_pre = np.asarray(causal_pre)
                 mse_y = float(mse_y)
@@ -219,18 +273,18 @@ class IdentifiableCausalBGM(cb.CausalBGM):
                     best_loss = mse_y
                     self.best_causal_pre = causal_pre
                     self.best_epoch = epoch
-                    if self.params["save_model"]:
-                        from bayesgm_tpu.utils import checkpoint as ckpt_lib
+                if self.params["save_model"]:
+                    from bayesgm_tpu.utils import checkpoint as ckpt_lib
 
-                        path = ckpt_lib.save_checkpoint(
-                            self.checkpoint_path, epoch,
-                            {"nets": self.nets, "prior_net": self.prior_net})
-                        print(f"Saving checkpoint for epoch {epoch} at {path}")
+                    path = ckpt_lib.save_checkpoint(
+                        self.checkpoint_path, epoch,
+                        self._full_state_bundle(z_opt, epoch, best_loss))
+                    print(f"Saving checkpoint for epoch {epoch} at {path}")
                 if self.params["save_res"]:
                     save_data(f"{self.save_dir}/causal_pre_at_{epoch}.{save_format}", causal_pre)
 
         (self.nets, self.opts, self.prior_net, self._prior_opt,
-         self.data_z, z_opt, self._key) = carry
+         self.data_z, z_opt) = carry
 
     def evaluate(self, data, data_z=None, nb_intervals=200):
         """7-tuple: (causal_pre, mse_x, mse_y, mse_v, x_pred, y_pred, v_pred)."""
@@ -292,10 +346,12 @@ class IdentifiableCausalBGM(cb.CausalBGM):
         return np.asarray(res.samples), np.asarray(data_u)
 
     def predict(self, data, alpha=0.01, n_mcmc=3000, burn_in=5000, x_values=None,
-                q_sd=1.0, sample_y=True, bs=10000):
+                q_sd=1.0, sample_y=True, bs=10000, mesh=None):
         """Same interface as :meth:`CausalBGM.predict`, with the conditional
         prior in the chain (identifiable.py:350-420; ``burn_in`` is forwarded,
-        fixing the reference's dropped-kwarg bug)."""
+        fixing the reference's dropped-kwarg bug).  The continuous-treatment
+        ``n_test > bs`` interval approximation noted on
+        :meth:`CausalBGM.predict` applies here too."""
         assert 0 < alpha < 1, "The significance level 'alpha' must be greater than 0 and less than 1."
         cfg = self.cfg
         if not cfg.binary_treatment and x_values is None:
@@ -315,6 +371,12 @@ class IdentifiableCausalBGM(cb.CausalBGM):
             batch = tuple(jnp.asarray(a) for a in (bx, by, bv))
             data_u = self._sample_u(batch[0].shape[0])
             init = jax.random.normal(self._next_key(), (batch[0].shape[0], sum(cfg.z_dims)))
+            if mesh is not None:
+                from bayesgm_tpu.parallel import shard_rows
+
+                batch = tuple(shard_rows(a, mesh) for a in batch)
+                data_u = shard_rows(data_u, mesh)
+                init = shard_rows(init, mesh)
             res = mcmc.adaptive_mh(
                 self._log_prob_with_u(batch, data_u), init, self._next_key(),
                 burn_in=burn_in, n_keep=n_mcmc, q_sd=q0, adaptive=adaptive,

@@ -70,11 +70,11 @@ def _latent_loss(cfg, g, z, x, key):
     return loss_px + loss_prior
 
 
-def _train_batch_step(cfg, carry, idx, data_x):
-    g, opt_g, z_table, z_opt, key = carry
+def _train_batch_step(cfg, carry, idx, key, data_x):
+    g, opt_g, z_table, z_opt = carry
     bx = data_x[idx]
     bz = z_table[idx]
-    key, kg, kz = jax.random.split(key, 3)
+    kg, kz = jax.random.split(key)
 
     (loss_x, loss_mse), grads = jax.value_and_grad(
         lambda gp: _g_loss(cfg, gp, bz, bx, kg), has_aux=True)(g)
@@ -85,7 +85,7 @@ def _train_batch_step(cfg, carry, idx, data_x):
     z_table, z_opt = optim.table_adam_update_rows(z_grads, idx, z_opt, z_table, cfg.lr_z)
 
     losses = dict(loss_x=loss_x, loss_mse_x=loss_mse, loss_postrior_z=loss_post)
-    return (g, opt_g, z_table, z_opt, key), losses
+    return (g, opt_g, z_table, z_opt), losses
 
 
 def _egm_disc_step(cfg, nets, opt_d, z, x, key):
@@ -217,10 +217,54 @@ class MNISTBGM(BGM):
         if p["save_res"] and not os.path.exists(self.save_dir):
             os.makedirs(self.save_dir)
 
-        latest = ckpt_lib.latest_checkpoint(self.checkpoint_path)
-        if latest is not None:
-            self.nets = ckpt_lib.restore_checkpoint(latest, self.nets)
+        self._resume_ckpt = ckpt_lib.latest_checkpoint(self.checkpoint_path)
+        if self._resume_ckpt is not None:
+            restored = ckpt_lib.restore_checkpoint(
+                self._resume_ckpt, self._restore_template())
+            self._apply_restore(restored)
             print("Latest checkpoint restored!!")
+
+    # -- checkpointable training state --------------------------------------
+
+    def _restore_template(self):
+        return {"nets": self.nets}
+
+    def _apply_restore(self, restored):
+        self.nets = restored["nets"]
+
+    def _full_state_template(self, n):
+        z = jnp.zeros((n, self.cfg.z_dim), jnp.float32)
+        return {
+            "nets": self.nets,
+            "opt_g": self.opt_g,
+            "opt_d": self._opt_d,
+            "opt_ge": self._opt_ge,
+            "data_z": z,
+            "z_opt": optim.table_adam_init(z),
+            "key": self._key,
+            "epoch": jnp.zeros((), jnp.int32),
+        }
+
+    def _full_state_bundle(self, z_opt, epoch):
+        return {
+            "nets": self.nets,
+            "opt_g": self.opt_g,
+            "opt_d": self._opt_d,
+            "opt_ge": self._opt_ge,
+            "data_z": self.data_z,
+            "z_opt": z_opt,
+            "key": self._key,
+            "epoch": jnp.asarray(epoch, jnp.int32),
+        }
+
+    def _apply_full_state(self, state):
+        self.nets = state["nets"]
+        self.opt_g = state["opt_g"]
+        self._opt_d = state["opt_d"]
+        self._opt_ge = state["opt_ge"]
+        self.data_z = state["data_z"]
+        self._key = state["key"]
+        return state["z_opt"], int(state["epoch"])
 
     # -- EGM -------------------------------------------------------------------
 
@@ -269,8 +313,9 @@ class MNISTBGM(BGM):
     # -- Fit -------------------------------------------------------------------
 
     def fit(self, data, batch_size=32, epochs=100, epochs_per_eval=5, use_egm_init=True,
-            egm_n_iter=10000, egm_batches_per_eval=500, verbose=1):
-        """Train on images (n, 28, 28, 1) in [0, 1] (mnist.py:307-396)."""
+            egm_n_iter=10000, egm_batches_per_eval=500, verbose=1, mesh=None):
+        """Train on images (n, 28, 28, 1) in [0, 1] (mnist.py:307-396).
+        ``mesh`` row-shards images + latent table (see CausalBGM.fit)."""
         data = jnp.asarray(data, jnp.float32)
         n = data.shape[0]
         cfg = self.cfg
@@ -279,55 +324,79 @@ class MNISTBGM(BGM):
             with open(f"{self.save_dir}/params.txt", "w") as f:
                 f.write(str(self.params))
 
-        if use_egm_init:
-            self.egm_init(data, egm_n_iter=egm_n_iter, batch_size=batch_size,
-                          egm_batches_per_eval=egm_batches_per_eval, verbose=verbose)
-            print("Initialize latent variables Z with e(V)...")
-            z_init = cnn.mnist_encoder_apply(self.nets["e"], data)
+        resume = self._try_resume(n)
+        if resume is not None:
+            z_opt, start_epoch = resume
         else:
-            print("Random initialization of latent variables Z...")
-            z_init = jax.random.normal(self._next_key(), (n, cfg.z_dim))
+            start_epoch = 0
+            if use_egm_init:
+                self.egm_init(data, egm_n_iter=egm_n_iter, batch_size=batch_size,
+                              egm_batches_per_eval=egm_batches_per_eval, verbose=verbose)
+                print("Initialize latent variables Z with e(V)...")
+                z_init = cnn.mnist_encoder_apply(self.nets["e"], data)
+            else:
+                print("Random initialization of latent variables Z...")
+                z_init = jax.random.normal(self._next_key(), (n, cfg.z_dim))
+            self.data_z = z_init
+            z_opt = optim.table_adam_init(self.data_z)
 
-        self.data_z = z_init
-        z_opt = optim.table_adam_init(self.data_z)
+        if mesh is not None:
+            from bayesgm_tpu.parallel import replicate, shard_rows
+
+            data = shard_rows(data, mesh)
+            self.data_z = shard_rows(self.data_z, mesh)
+            z_opt = optim.TableAdamState(
+                m=shard_rows(z_opt.m, mesh), v=shard_rows(z_opt.v, mesh),
+                t=replicate(z_opt.t, mesh))
+            self.nets = replicate(self.nets, mesh)
+            self.opt_g = replicate(self.opt_g, mesh)
+
         n_full = n // batch_size
+        if n_full == 0:
+            raise ValueError(f"batch_size={batch_size} exceeds n={n}; the MNIST fit "
+                             "skips incomplete batches (as the reference does).")
 
         @jax.jit
-        def epoch_fn(carry, idx_matrix):
+        def epoch_fn(carry, idx_matrix, key):
+            keys = jax.random.split(key, idx_matrix.shape[0])
             step = partial(_train_batch_step, cfg, data_x=data)
-            carry, losses = jax.lax.scan(lambda c, idx: step(c, idx), carry, idx_matrix)
+            carry, losses = jax.lax.scan(lambda c, xs: step(c, xs[0], xs[1]), carry,
+                                         (idx_matrix, keys))
             return carry, {k: v[-1] for k, v in losses.items()}
 
         self.history_loss = []
         print("Iterative Updating Starts ...")
         from tqdm import tqdm
 
-        carry = (self.nets["g"], self.opt_g, self.data_z, z_opt, self._next_key())
-        for epoch in tqdm(range(epochs + 1), desc="Epochs", unit="epoch", disable=not verbose):
-            perm = np.random.permutation(n)
-            idx_matrix = jnp.asarray(perm[: n_full * batch_size].reshape(n_full, batch_size))
-            carry, losses = epoch_fn(carry, idx_matrix)
+        carry = (self.nets["g"], self.opt_g, self.data_z, z_opt)
+        for epoch in tqdm(range(start_epoch, epochs + 1), desc="Epochs", unit="epoch",
+                          disable=not verbose):
+            k_perm, k_epoch = self._next_key(2)
+            perm = jax.random.permutation(k_perm, n)
+            idx_matrix = perm[: n_full * batch_size].reshape(n_full, batch_size)
+            carry, losses = epoch_fn(carry, idx_matrix, k_epoch)
 
             if epoch % epochs_per_eval == 0:
-                g, opt_g, z_table, z_opt, key = carry
+                g, opt_g, z_table, z_opt = carry
                 self.nets = {**self.nets, "g": g}
-                self.opt_g, self.data_z, self._key = opt_g, z_table, key
+                self.opt_g, self.data_z = opt_g, z_table
                 mse_x = float(self.evaluate(data, data_z=self.data_z))
                 self.history_loss.append(mse_x)
                 if verbose:
                     print("Epoch [%d/%d]: MSE_x: %.4f\n" % (epoch, epochs, mse_x))
                 if self.params["save_model"]:
-                    path = ckpt_lib.save_checkpoint(self.checkpoint_path, epoch,
-                                                    {"nets": self.nets}, max_to_keep=100)
+                    path = ckpt_lib.save_checkpoint(
+                        self.checkpoint_path, epoch,
+                        self._full_state_bundle(z_opt, epoch), max_to_keep=100)
                     print(f"Saving checkpoint for epoch {epoch} at {path}")
                 if self.params["save_res"]:
                     gen = self.generate(nb_samples=512)
                     np.savez("%s/data_gen_at_%d.npz" % (self.save_dir, epoch),
                              gen=np.asarray(gen), z=np.asarray(self.data_z))
 
-        g, opt_g, z_table, z_opt, key = carry
+        g, opt_g, z_table, z_opt = carry
         self.nets = {**self.nets, "g": g}
-        self.opt_g, self.data_z, self._key = opt_g, z_table, key
+        self.opt_g, self.data_z = opt_g, z_table
 
     # -- Evaluation / generation -----------------------------------------------
 
@@ -386,14 +455,24 @@ class MNISTBGM(BGM):
         return -dist.standard_normal_neg_log_prior(data_z) + ll
 
     def tfp_mcmc_sampler(self, data, ind_x1=None, n_mcmc=3000, burn_in=5000,
-                         step_size=0.01, num_leapfrog_steps=10, seed=42, collect=None):
-        """HMC over p(Z | X_obs) with the Bernoulli likelihood."""
+                         step_size=0.01, num_leapfrog_steps=10, seed=42, collect=None,
+                         mesh=None):
+        """HMC over p(Z | X_obs) with the Bernoulli likelihood.  ``mesh``
+        shards the per-image chains over the device mesh."""
         data_np = np.asarray(data, np.float32)
         n = data_np.shape[0]
         flat_np = data_np.reshape(n, -1)
         data_dev = jnp.asarray(flat_np)
         ind_mat, obs_mask = self._prep_obs_indices(flat_np, ind_x1)
         cfg, nets = self.cfg, self.nets
+        if mesh is not None:
+            from bayesgm_tpu.parallel import replicate, shard_rows
+
+            data_dev = shard_rows(data_dev, mesh)
+            if ind_mat is not None:
+                ind_mat = shard_rows(ind_mat, mesh)
+                obs_mask = shard_rows(obs_mask, mesh)
+            nets = replicate(nets, mesh)
 
         def log_prob(z, key):
             k_g, k_rep = jax.random.split(key)
@@ -409,22 +488,29 @@ class MNISTBGM(BGM):
             return -dist.standard_normal_neg_log_prior(z) + ll
 
         init = jax.random.normal(jax.random.PRNGKey(seed), (n, cfg.z_dim))
+        if mesh is not None:
+            from bayesgm_tpu.parallel import shard_rows
+
+            init = shard_rows(init, mesh)
         res = mcmc.hmc(log_prob, init, self._next_key(), burn_in=burn_in, n_keep=n_mcmc,
                        step_size=step_size, num_leapfrog=num_leapfrog_steps, collect=collect)
         print(f"TPU HMC Acceptance Rate: {float(res.accept_rate):.4f}")
         return res.samples
 
     def predict(self, data, alpha=0.05, return_samples=False, bs=100, n_mcmc=5000,
-                burn_in=5000, step_size=0.01, num_leapfrog_steps=10, seed=42):
+                burn_in=5000, step_size=0.01, num_leapfrog_steps=10, seed=42,
+                mesh=None):
         """Pixel-level inpainting with NaN-encoded missing pixels
-        (mnist.py:467-613)."""
+        (mnist.py:467-613).  Subjects run in batches of ``bs`` — each image's
+        chain is independent, so batching is exact for per-pixel statistics
+        and bounds the host-side (n_mcmc, bs, 784) sample cube."""
         assert 0 < alpha < 1, "The significance level 'alpha' must be greater than 0 and less than 1."
         data_np = np.asarray(data, np.float32)
         n = data_np.shape[0]
+        bs = max(1, int(bs))
         is_nan = np.isnan(data_np)
         data_clean = np.nan_to_num(data_np, nan=0.0)
         flat_obs = (~is_nan).reshape(n, -1)
-        ind_x1_list = [np.where(row)[0].tolist() for row in flat_obs]
 
         cfg, nets = self.cfg, self.nets
 
@@ -433,10 +519,16 @@ class MNISTBGM(BGM):
             mu, var = _gen_apply(cfg, nets["g"], z, k_g)
             return jax.nn.sigmoid(nn.reparameterize(k_rep, mu, var))
 
-        data_x_pred_all = np.asarray(self.tfp_mcmc_sampler(
-            data=data_clean, ind_x1=ind_x1_list, n_mcmc=n_mcmc, burn_in=burn_in,
-            step_size=step_size, num_leapfrog_steps=num_leapfrog_steps, seed=seed,
-            collect=decode))  # (n_mcmc, n, 28, 28, 1)
+        cubes = []
+        for start in range(0, n, bs):
+            end = min(start + bs, n)
+            ind_x1_list = [np.where(row)[0].tolist() for row in flat_obs[start:end]]
+            cubes.append(np.asarray(self.tfp_mcmc_sampler(
+                data=data_clean[start:end], ind_x1=ind_x1_list, n_mcmc=n_mcmc,
+                burn_in=burn_in, step_size=step_size,
+                num_leapfrog_steps=num_leapfrog_steps, seed=seed,
+                collect=decode, mesh=mesh)))
+        data_x_pred_all = np.concatenate(cubes, axis=1)  # (n_mcmc, n, 28, 28, 1)
 
         miss_flat = is_nan.reshape(n, -1)
         flat_pred = data_x_pred_all.reshape(data_x_pred_all.shape[0], n, -1)

@@ -2,9 +2,17 @@
 
 The reference checkpoints nets + optimizers via ``tf.train.Checkpoint`` with
 silent auto-restore of the latest checkpoint (causalbgm/base.py:112-128) but
-does NOT checkpoint the latent table.  Here the entire training state —
-params, optimizer states, latent table ``Z``, and the PRNG key — is one pytree
-saved atomically as a single ``.npz``, which closes that resume gap.
+does NOT checkpoint the latent table.  Here every model's fit loop saves one
+uniform full-state bundle — nets (+ model extras such as ``prior_net``), all
+optimizer states, the latent table ``Z`` and its Adam moments, the PRNG key,
+and the epoch/best-metric counters — as a single atomic ``.npz``, which
+closes that resume gap: restore + continue reproduces the uninterrupted
+run's eval trajectory exactly (tests/test_resume.py).
+
+Restores are template-driven: :func:`restore_checkpoint` fills the leaves of
+a caller-supplied pytree from the stored arrays, so a *subset* template (e.g.
+``{"nets": ...}`` at ``__init__`` time, before the data-dependent shapes are
+known) restores fine against a full-state file.
 """
 
 from __future__ import annotations
@@ -13,6 +21,7 @@ import os
 import re
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 _CKPT_RE = re.compile(r"^ckpt-(\d+)\.npz$")
@@ -61,6 +70,22 @@ def latest_checkpoint(ckpt_dir: str):
     return os.path.join(ckpt_dir, f"ckpt-{steps[-1]}.npz")
 
 
+def checkpoint_step(path: str) -> int:
+    """The step number encoded in a ``ckpt-{step}.npz`` filename."""
+    m = _CKPT_RE.match(os.path.basename(path))
+    if m is None:
+        raise ValueError(f"Not a checkpoint filename: {path}")
+    return int(m.group(1))
+
+
+def has_group(path: str, name: str) -> bool:
+    """Whether the stored file contains any leaf under top-level key ``name``
+    (i.e. was saved from a bundle that included that entry)."""
+    prefix = f"['{name}']"
+    with np.load(path) as data:
+        return any(k == prefix or k.startswith(prefix) for k in data.files)
+
+
 def restore_checkpoint(path: str, template):
     """Restore a pytree saved by :func:`save_checkpoint` into the structure of
     ``template`` (leaves are replaced by the stored arrays)."""
@@ -73,5 +98,8 @@ def restore_checkpoint(path: str, template):
             if key not in data:
                 raise KeyError(f"Checkpoint {path} missing leaf {key}")
             stored = data[key]
-            new_leaves.append(stored.reshape(np.shape(leaf)).astype(np.asarray(leaf).dtype))
+            stored = stored.reshape(np.shape(leaf)).astype(np.asarray(leaf).dtype)
+            # Materialize as a device array: restored state feeds straight
+            # into jitted code (e.g. traced-index gathers on data_u).
+            new_leaves.append(jnp.asarray(stored))
         return jax.tree_util.tree_unflatten(treedef, new_leaves)

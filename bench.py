@@ -1,16 +1,20 @@
-"""Headline benchmark: CausalBGM iterative-phase training throughput.
+"""Headline benchmark: CausalBGM training + posterior-inference throughput.
 
 Workload matches the reference tutorial's Sim_Hirano_Imbens configuration
 (n=20000, v_dim=200, batch_size=32 -> 625 batches/epoch).  The reference
 sustains ~55 batches/s on CPU (SURVEY.md §6, tutorial_py.ipynb cell 14);
-that is the ``vs_baseline`` denominator.
+that is the ``vs_baseline`` denominator for the training line.
 
-Each batch performs the full iterative update: three net Adam updates
-(g: 200-wide output MLP, h, f) plus the row-sparse latent-table Adam update —
-identical numerical work to the reference's four ``@tf.function`` calls, but
-scanned on device so an epoch is one dispatch.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Two JSON lines:
+1. predict-phase: adaptive-MH chain throughput on the n=20000 HI posterior
+   (the BASELINE.md north-star metric, log-posterior evals/sec/chip).  The
+   reference's MH loop round-trips numpy <-> TF twice per step
+   (causalbgm/base.py:860-898); a faithful host-loop re-creation (numpy
+   proposals/accepts + jitted XLA-CPU BNN log-posterior called twice per
+   step) measures 0.98 steps/s at n=20000 chains on this image's CPU
+   -> 3.9e4 evals/s, the vs_baseline denominator.
+2. training-phase batches/s (the round-1 headline, kept last for the
+   driver's parser).
 """
 
 import json
@@ -19,6 +23,44 @@ import time
 import numpy as np
 
 BASELINE_BATCHES_PER_SEC = 55.0
+# Reference-style host-loop MH on CPU: 0.98 steps/s at n=20000 chains with
+# two full-batch log-posterior evals per step (measured with the XLA-CPU
+# composite standing in for the TF graph; see RESULTS.md).
+BASELINE_LOGP_EVALS_PER_SEC = 2 * 20000 * 0.98
+
+
+def bench_predict(model, data, n_steps=2000):
+    """Adaptive-MH throughput on the full-data posterior (default BNN config:
+    two stochastic log-posterior evals per step, n=20000 parallel chains)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bayesgm_tpu.ops import mcmc
+
+    x, y, v = (jnp.asarray(a) for a in data)
+    n = x.shape[0]
+    log_prob = model._make_log_prob(x, y, v)
+    evals_per_step = 2 if model.cfg.use_bnn else 1
+
+    key = jax.random.PRNGKey(0)
+    init = jax.random.normal(key, (n, sum(model.cfg.z_dims)))
+    # Warmup compiles the chunked chain programs.
+    res = mcmc.adaptive_mh(log_prob, init, key, burn_in=mcmc.CHUNK, n_keep=0,
+                           q_sd=1.0, recompute_current=model.cfg.use_bnn)
+    jax.block_until_ready(res.q_sd)
+    t0 = time.perf_counter()
+    res = mcmc.adaptive_mh(log_prob, init, key, burn_in=n_steps, n_keep=0,
+                           q_sd=1.0, recompute_current=model.cfg.use_bnn)
+    jax.block_until_ready(res.q_sd)
+    elapsed = time.perf_counter() - t0
+    steps_per_sec = n_steps / elapsed
+    evals_per_sec = steps_per_sec * n * evals_per_step
+    print(json.dumps({
+        "metric": "causalbgm_posterior_logp_evals_per_sec",
+        "value": round(evals_per_sec, 0),
+        "unit": f"logp evals/s/chip (n=20000 chains, BNN, {steps_per_sec:.0f} MH steps/s)",
+        "vs_baseline": round(evals_per_sec / BASELINE_LOGP_EVALS_PER_SEC, 2),
+    }))
 
 
 def main():
@@ -30,6 +72,13 @@ def main():
     n, v_dim, bs = 20000, 200, 32
     ds = Sim_Hirano_Imbens_sampler(batch_size=bs, N=n, v_dim=v_dim, seed=0)
     x, y, v = ds.load_all()
+
+    # --- predict-phase metric (default BNN configuration) ---
+    bnn_params = dict(
+        v_dim=v_dim, z_dims=[1, 1, 1, 7], binary_treatment=False,
+        dataset="bench_HI_predict", output_dir="/tmp/bench_out", use_bnn=True,
+        save_res=False, save_model=False)
+    bench_predict(CausalBGM(bnn_params, random_seed=123), (x, y, v))
 
     params = dict(
         v_dim=v_dim, z_dims=[1, 1, 1, 7], binary_treatment=False,
@@ -51,16 +100,17 @@ def main():
     from bayesgm_tpu.ops import optim
 
     carry = (model.nets, model.opts, model.data_z,
-             optim.table_adam_init(model.data_z), model._key)
+             optim.table_adam_init(model.data_z))
     perm = np.random.permutation(n)[: n_batches * bs].reshape(n_batches, bs)
     idx = jnp.asarray(perm)
-    carry, _ = epoch_fn(carry, idx, data)  # compile
+    k_epoch = jax.random.PRNGKey(7)
+    carry, _ = epoch_fn(carry, idx, k_epoch, data)  # compile
     jax.block_until_ready(carry[2])
 
     n_epochs = 5
     t0 = time.perf_counter()
     for _ in range(n_epochs):
-        carry, _ = epoch_fn(carry, idx, data)
+        carry, _ = epoch_fn(carry, idx, k_epoch, data)
     jax.block_until_ready(carry[2])
     elapsed = time.perf_counter() - t0
 
