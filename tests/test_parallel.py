@@ -95,6 +95,71 @@ def test_sharded_train_step_matches_single_device(setup):
                                np.asarray(nets1["g"]["layers"][0]["w"]), rtol=2e-3, atol=2e-6)
 
 
+def _hi_like_data(n=64, v_dim=6, seed=0):
+    rng = np.random.RandomState(seed)
+    v = rng.randn(n, v_dim).astype("float32")
+    x = rng.rand(n, 1).astype("float32")
+    y = (x + v[:, :1] + 0.1 * rng.randn(n, 1)).astype("float32")
+    return x, y, v
+
+
+def test_public_fit_predict_mesh_matches_single_device(tmp_path):
+    """VERDICT item 4: the PUBLIC CausalBGM API trains and predicts
+    row-sharded over a mesh with numerics matching the single-device run
+    (same seeds -> same key streams -> same chains)."""
+    from bayesgm_tpu.models.causalbgm import CausalBGM
+
+    data = _hi_like_data()
+    params = dict(v_dim=6, z_dims=[1, 1, 1, 2], binary_treatment=False,
+                  dataset="mesh", output_dir=str(tmp_path), use_bnn=False,
+                  g_units=[8], e_units=[8], f_units=[8], h_units=[8], dz_units=[8],
+                  save_res=False, save_model=False)
+
+    def run(mesh):
+        m = CausalBGM(params, random_seed=11)
+        m.fit(data, epochs=2, epochs_per_eval=2, batch_size=16,
+              use_egm_init=False, verbose=0, mesh=mesh)
+        adrf, ci = m.predict(data, alpha=0.2, n_mcmc=20, burn_in=30,
+                             x_values=[0.5, 1.0], q_sd=1.0, mesh=mesh)
+        return m, adrf, ci
+
+    m8, adrf8, ci8 = run(make_mesh(8))
+    m1, adrf1, ci1 = run(None)
+
+    assert m8.data_z.sharding.spec[0] == "data"  # latent table stayed sharded
+    np.testing.assert_allclose(np.asarray(m8.data_z), np.asarray(m1.data_z),
+                               rtol=2e-3, atol=2e-5)
+    for name in ("g", "f", "h"):
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(m8.nets[name])[0]),
+            np.asarray(jax.tree.leaves(m1.nets[name])[0]), rtol=2e-3, atol=2e-6)
+    np.testing.assert_allclose(adrf8, adrf1, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(ci8, ci1, rtol=1e-3, atol=1e-4)
+
+
+def test_public_bgm_predict_mesh(tmp_path):
+    """BGM HMC imputation through the public API on an 8-device mesh."""
+    from bayesgm_tpu.models.bgm import BGM
+
+    rng = np.random.RandomState(0)
+    z = rng.randn(64, 2)
+    w = rng.randn(2, 4)
+    data = (z @ w + 0.1 * rng.randn(64, 4)).astype("float32")
+    p = dict(x_dim=4, z_dim=2, dataset="mesh_bgm", output_dir=str(tmp_path),
+             use_bnn=False, g_units=[8], e_units=[8], dz_units=[8], dx_units=[8],
+             save_res=False, save_model=False)
+    mesh = make_mesh(8)
+    m = BGM(p, random_seed=5)
+    m.fit(data, epochs=2, epochs_per_eval=2, batch_size=16, use_egm_init=False,
+          verbose=0, mesh=mesh)
+    test = np.array(data[:16])
+    test[:, 0] = np.nan
+    imputed, intervals = m.predict(test, alpha=0.2, bs=16, n_mcmc=20, burn_in=20,
+                                   mesh=mesh)
+    assert imputed.shape == test.shape and not np.any(np.isnan(imputed))
+    assert intervals.shape == (16, 1, 2)
+
+
 def test_sharded_mh_predict(setup):
     cfg, nets, data, z = setup
     mesh = make_mesh(8)
