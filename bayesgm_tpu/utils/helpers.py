@@ -37,65 +37,79 @@ def get_ADRF(x_values=None, x_min=None, x_max=None, nb_intervals=None, dataset: 
 
 
 def slice_y(y, n_slices: int = 10):
-    """Partition samples into contiguous y-slices (SIR machinery,
-    reference helpers.py:69-142).  Returns (slice_indicator, slice_counts)."""
-    unique_y_vals, counts = np.unique(y, return_counts=True)
-    cumsum_y = np.cumsum(counts)
-    n_y_values = unique_y_vals.shape[0]
-    if n_y_values == 1:
-        raise ValueError(
-            "The target only has one unique y value. It does not make sense to fit SIR or SAVE in this case."
-        )
-    if n_slices >= n_y_values:
-        if n_slices > n_y_values:
-            warnings.warn(
-                "n_slices greater than the number of unique y values. "
-                f"Setting n_slices equal to {counts.shape[0]}."
-            )
-        slice_partition = np.hstack((0, cumsum_y))
-    else:
-        n_obs = np.floor(y.shape[0] / n_slices)
-        n_seen = 0
-        slice_partition = [0]
-        while n_seen < y.shape[0] - 2:
-            start = np.where(cumsum_y >= n_seen + n_obs)[0]
-            start = cumsum_y.shape[0] - 1 if start.shape[0] == 0 else start[0]
-            n_seen = cumsum_y[start]
-            slice_partition.append(n_seen)
+    """Assign each sample (in sorted-y order) to one of up to ``n_slices``
+    contiguous response slices, never splitting tied y values across slices.
 
-    slice_indicator = np.ones(y.shape[0], dtype="int64")
-    for j, (start_idx, end_idx) in enumerate(zip(slice_partition, slice_partition[1:])):
-        if j == len(slice_partition) - 2:
-            slice_indicator[start_idx:] = j
-        else:
-            slice_indicator[start_idx:end_idx] = j
-    slice_counts = np.bincount(slice_indicator)
-    return slice_indicator, slice_counts
+    This is the slicing step of Sliced Inverse Regression.  Semantics match
+    the reference (helpers.py:69-142, itself following the ``sliced``
+    package) so that ``estimate_latent_dims`` produces identical splits; the
+    implementation here works on tie-group boundaries directly.
+
+    Returns ``(slice_ids (n,), counts_per_slice)``.
+    """
+    n = np.asarray(y).shape[0]
+    _, tie_sizes = np.unique(y, return_counts=True)
+    if tie_sizes.size == 1:
+        raise ValueError(
+            "slice_y requires at least two distinct response values; a "
+            "constant target cannot be sliced for dimension reduction.")
+    # End offset (into the sorted order) of each tie group.
+    group_ends = np.cumsum(tie_sizes)
+
+    if n_slices >= tie_sizes.size:
+        if n_slices > tie_sizes.size:
+            warnings.warn(
+                f"Requested {n_slices} slices but only {tie_sizes.size} "
+                "distinct response values exist; using one slice per value.")
+        cuts = np.concatenate(([0], group_ends))
+    else:
+        # Greedy fill: each slice takes at least floor(n / n_slices) samples,
+        # then extends to the end of the tie group it landed in.
+        per_slice = np.floor(n / n_slices)
+        cuts = [0]
+        filled = 0
+        while filled < n - 2:
+            g = np.searchsorted(group_ends, filled + per_slice, side="left")
+            g = min(g, group_ends.size - 1)
+            filled = group_ends[g]
+            cuts.append(filled)
+        cuts = np.asarray(cuts)
+
+    slice_ids = np.zeros(n, dtype="int64")
+    last = len(cuts) - 2
+    for j in range(last + 1):
+        hi = n if j == last else cuts[j + 1]
+        slice_ids[cuts[j]:hi] = j
+    return slice_ids, np.bincount(slice_ids)
 
 
 def get_SDR_dim(X, y, n_slices: int = 10, ratio: float = 0.8):
-    """Sliced-Inverse-Regression dimension: QR-whiten, per-slice means,
-    eigen-spectrum cumulative-variance threshold (reference helpers.py:145-179)."""
+    """Sufficient-dimension-reduction rank of the X -> y relation via SIR.
+
+    Whiten X with an economy QR, average the whitened rows within each
+    y-slice, and count how many eigenvalues of the between-slice covariance
+    are needed to reach ``ratio`` of its trace (reference helpers.py:145-179;
+    numerics pinned by the estimate_latent_dims golden test).
+    """
     import scipy.linalg as linalg
 
     if y.ndim == 2:
         assert y.shape[1] == 1, "The shape of y should be (n_samples, 1)."
         y = np.squeeze(y)
     n_samples = X.shape[0]
-    X = X - np.mean(X, axis=0)
-    Q, _ = linalg.qr(X, mode="economic")
-    Z = np.sqrt(n_samples) * Q
-    Z = Z[np.argsort(y), :]
+    Q, _ = linalg.qr(X - X.mean(axis=0), mode="economic")
+    Z = np.sqrt(n_samples) * Q[np.argsort(y), :]
 
-    slices, counts = slice_y(y, n_slices)
-    inv_idx = np.concatenate(([0], np.diff(slices).nonzero()[0] + 1))
-    Z_sum = np.add.reduceat(Z, inv_idx)
-    Z_means = Z_sum / np.sqrt(counts.reshape(-1, 1))
-    M = Z_means.T @ Z_means / n_samples
+    slice_ids, counts = slice_y(y, n_slices)
+    # Per-slice sums via a one-hot contraction (rows of Z are already in
+    # sorted-y order, matching slice_ids).
+    onehot = (slice_ids[:, None] == np.arange(counts.size)[None, :])
+    slice_means = (onehot.astype(Z.dtype).T @ Z) / np.sqrt(counts[:, None])
+    M = slice_means.T @ slice_means / n_samples
+
     evals = linalg.eigh(M, eigvals_only=True)[::-1]
-    cumulative = np.cumsum(evals)
-    threshold_index = np.argmax(cumulative >= ratio * np.sum(evals))
-    return int(threshold_index + 1)
+    reached = np.cumsum(evals) >= ratio * evals.sum()
+    return int(np.argmax(reached) + 1)
 
 
 def estimate_latent_dims(x, y, v, v_ratio: float = 0.7, z0_dim: int = 3,

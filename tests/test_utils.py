@@ -95,6 +95,30 @@ def test_estimate_latent_dims():
     assert all(d >= 1 for d in dims)
 
 
+def test_sir_slicing_golden():
+    """Golden outputs computed once from the reference implementation
+    (src/bayesgm/utils/helpers.py slice_y/get_SDR_dim) on fixed inputs —
+    pins the rewritten slicing algorithm to exact numerical parity."""
+    from bayesgm_tpu.utils.helpers import get_SDR_dim, slice_y
+
+    rng = np.random.RandomState(42)
+    _, counts = slice_y(np.sort(rng.randn(101)), n_slices=7)
+    assert counts.tolist() == [14, 14, 14, 14, 14, 14, 14, 3]
+
+    y_tied = np.repeat(np.arange(5), [3, 10, 1, 40, 6]).astype(float)
+    _, counts = slice_y(y_tied, n_slices=3)
+    assert counts.tolist() == [54, 6]
+
+    X = rng.randn(300, 12)
+    y = X[:, 0] + 2 * X[:, 1] - X[:, 2] + 0.05 * rng.randn(300)
+    assert get_SDR_dim(X, y.reshape(-1, 1), n_slices=10, ratio=0.8) == 2
+    y2 = np.sin(X[:, 3]) + 0.05 * rng.randn(300)
+    assert get_SDR_dim(X, y2.reshape(-1, 1), n_slices=8, ratio=0.9) == 3
+
+    with pytest.raises(ValueError):
+        slice_y(np.ones(10))
+
+
 def test_mnist_mask_indices():
     obs, miss = mnist_mask_indices(mode="upper_half")
     assert len(obs) + len(miss) == 784
