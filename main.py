@@ -14,14 +14,58 @@ import numpy as np
 import yaml
 
 
+def _load_causal_dataset(name):
+    """Instantiate the right sampler and its ADRF ground truth.
+
+    Returns ``(x, y, v, truth_fn)`` where ``truth_fn(x_grid) -> true ADRF``
+    or None when no oracle exists.  File-backed datasets (ACIC, Twins) raise
+    FileNotFoundError with a clear message when the CSVs are absent.
+    """
+    from bayesgm_tpu.datasets import (
+        Semi_acic_sampler,
+        Semi_Twins_sampler,
+        Sim_Colangelo_sampler,
+        Sim_Hirano_Imbens_sampler,
+        Sim_Sun_sampler,
+    )
+    from bayesgm_tpu.utils import get_ADRF
+
+    if name == "Sim_Hirano_Imbens":
+        ds = Sim_Hirano_Imbens_sampler(N=20000, v_dim=200)
+        return (*ds.load_all(), lambda g: get_ADRF(x_values=g, dataset="Imbens"))
+    if name == "Sim_Sun":
+        ds = Sim_Sun_sampler(N=20000, v_dim=200)
+        return (*ds.load_all(), lambda g: get_ADRF(x_values=g, dataset="Sun"))
+    if name == "Sim_Colangelo":
+        ds = Sim_Colangelo_sampler(N=20000, v_dim=100)
+        return (*ds.load_all(), lambda g: get_ADRF(x_values=g, dataset="Lee"))
+    if name == "Semi_Twins":
+        try:
+            ds = Semi_Twins_sampler()
+        except (FileNotFoundError, OSError) as e:
+            raise FileNotFoundError(
+                "Semi_Twins needs the Twins CSV trio under ../data/Twins "
+                "(twin_pairs_{X,T,Y}_3years_samesex.csv); not present in this "
+                f"environment: {e}") from e
+        # Synthetic outcome y = -2 sigmoid(3x) + V gamma + eps, so the true
+        # dose-response is -2 sigmoid(3x) + mean(V gamma).
+        const = ds.auxiliary_constant
+        return (*ds.load_all(), lambda g: -2.0 / (1.0 + np.exp(-3.0 * np.asarray(g))) + const)
+    if name == "Semi_acic":
+        try:
+            ds = Semi_acic_sampler(ufid="629e3d2c63914e45b227cc913c09cebe")
+        except (FileNotFoundError, OSError) as e:
+            raise FileNotFoundError(
+                "Semi_acic needs the ACIC-2018 CSVs under ../data/ACIC_2018 "
+                f"(x.csv + scaling/factuals/<ufid>.csv); not present: {e}") from e
+        return (*ds.load_all(), None)
+    raise ValueError(f"Unknown causal dataset {name}")
+
+
 def run_causal(params, epochs, egm_iters):
-    from bayesgm_tpu.datasets import Semi_acic_sampler, Sim_Hirano_Imbens_sampler
     from bayesgm_tpu.models.causalbgm import CausalBGM
 
-    if params["dataset"] == "Sim_Hirano_Imbens":
-        x, y, v = Sim_Hirano_Imbens_sampler(N=20000, v_dim=200).load_all()
-    else:
-        x, y, v = Semi_acic_sampler(ufid="629e3d2c63914e45b227cc913c09cebe").load_all()
+    x, y, v, truth_fn = _load_causal_dataset(params["dataset"])
 
     model = CausalBGM(params=params, random_seed=None)
     model.fit(data=(x, y, v), epochs=epochs, epochs_per_eval=10, use_egm_init=True,
@@ -32,15 +76,21 @@ def run_causal(params, epochs, egm_iters):
             data=(x, y, v), alpha=0.01, n_mcmc=3000, burn_in=5000, q_sd=1.0)
         print("ATE estimate:", float(np.mean(causal_pre)))
     else:
+        # HI uses the reference tutorial's fixed [0, 3] grid; the other
+        # continuous datasets evaluate on the in-sample [p5, p95] range.
+        if params["dataset"] == "Sim_Hirano_Imbens":
+            x_grid = np.linspace(0, 3, 20)
+        else:
+            lo, hi = np.quantile(x, [0.05, 0.95])
+            x_grid = np.linspace(lo, hi, 20)
         causal_pre, pos_intervals = model.predict(
             data=(x, y, v), alpha=0.01, n_mcmc=3000, burn_in=5000,
-            x_values=np.linspace(0, 3, 20), q_sd=1.0)
-        from bayesgm_tpu.utils import get_ADRF
-
-        true = get_ADRF(x_values=np.linspace(0, 3, 20), dataset="Imbens")
-        rmse = float(np.sqrt(np.mean((causal_pre - true) ** 2)))
-        mape = float(np.mean(np.abs((causal_pre - true) / true)))
-        print(f"ADRF RMSE: {rmse:.4f}  MAPE: {mape:.4f}")
+            x_values=x_grid, q_sd=1.0)
+        if truth_fn is not None:
+            true = np.asarray(truth_fn(x_grid.astype("float32")))
+            rmse = float(np.sqrt(np.mean((causal_pre - true) ** 2)))
+            mape = float(np.mean(np.abs((causal_pre - true) / true)))
+            print(f"ADRF RMSE: {rmse:.4f}  MAPE: {mape:.4f}")
     return causal_pre, pos_intervals
 
 
