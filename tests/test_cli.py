@@ -1,6 +1,6 @@
-"""CLI tests (modeled on src/bayesgm/tests/test_cli.py): heavy mocking so no
-training runs; asserts argument plumbing into fit/predict kwargs and output
-paths."""
+"""CLI tests: mocked plumbing tests (modeled on src/bayesgm/tests/test_cli.py
+— argument plumbing into fit/predict kwargs, output paths) plus one REAL
+unmocked end-to-end run exercising parse -> fit -> predict -> save."""
 
 from unittest import mock
 
@@ -98,6 +98,31 @@ def test_version_and_help(capsys):
     out = capsys.readouterr().out
     assert "1.0.2" in out
     cli.main([])  # no subcommand -> help, no crash
+
+
+def test_causalbgm_cli_end_to_end(triplet, tmp_path):
+    """One real (unmocked) console run: parse_file_triplet -> CausalBGM ->
+    fit -> predict -> save_data, with tiny nets / 1 epoch / n_mcmc=5."""
+    import glob
+    import os
+
+    path, (x, y, v) = triplet
+    out = str(tmp_path / "e2e")
+    cli.main([
+        "causalbgm", "-o", out, "-i", path, "-d", "e2e",
+        "--no-use_bnn", "--no-use_egm_init",
+        "-Z", "1", "1", "1", "2",
+        "--g_units", "8", "--e_units", "8", "--f_units", "8", "--h_units", "8",
+        "--dz_units", "8",
+        "-E", "1", "--epochs_per_eval", "1", "-M", "5", "--burn_in", "5",
+        "--alpha", "0.1",
+    ])
+    dirs = glob.glob(os.path.join(out, "results", "e2e", "*"))
+    assert len(dirs) == 1
+    est = np.loadtxt(os.path.join(dirs[0], "causal_effect_point_estimate.txt"))
+    iv = np.loadtxt(os.path.join(dirs[0], "causal_effect_posterior_interval.txt"))
+    assert est.shape == (30,) and iv.shape == (30, 2)
+    assert np.all(np.isfinite(est)) and np.all(iv[:, 0] <= iv[:, 1])
 
 
 def test_legacy_causalbgm_entry(triplet, tmp_path):
