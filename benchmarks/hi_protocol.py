@@ -1,0 +1,115 @@
+"""Seeded Sim_Hirano_Imbens flagship benchmark at the exact reference protocol.
+
+Protocol (reference tutorial, docs/source/causalbgm/tutorial_py.ipynb +
+src/bayesgm/models/causalbgm/base.py:434-532): n=20000, v_dim=200,
+z_dims=[1,1,1,7], BNN, EGM 30000 iters, 100 epochs, predict with n_mcmc=3000,
+burn_in=5000, q_sd=1.0, 20-point grid on [0, 3].  Reference headline:
+ADRF RMSE 0.0188 (single run).  Round-2 acceptance bar: median RMSE <= 0.022
+over 5 seeds.
+
+Usage:
+    python benchmarks/hi_protocol.py --seeds 123 456 789 1011 1213
+    python benchmarks/hi_protocol.py --seeds 123 --epochs 100 --egm 30000 \
+        --kl_weight 1e-4 --lr_z 1e-4   # recipe-sweep overrides
+
+Prints one JSON line per seed plus a summary line; results logged in
+RESULTS.md.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def run_seed(seed, args):
+    from bayesgm_tpu.datasets import Sim_Hirano_Imbens_sampler
+    from bayesgm_tpu.models.causalbgm import CausalBGM
+    from bayesgm_tpu.models.identifiable import IdentifiableCausalBGM
+    from bayesgm_tpu.utils import get_ADRF
+
+    x, y, v = Sim_Hirano_Imbens_sampler(N=20000, v_dim=200, seed=args.data_seed).load_all()
+
+    params = dict(
+        v_dim=200, z_dims=[1, 1, 1, 7], binary_treatment=False,
+        dataset="HI_protocol", output_dir=args.output_dir,
+        use_bnn=not args.no_bnn, save_res=False, save_model=False,
+        kl_weight=args.kl_weight, lr=args.lr, lr_theta=args.lr_theta,
+        lr_z=args.lr_z, use_z_rec=args.use_z_rec,
+        g_units=args.g_units, e_units=args.e_units,
+        f_units=args.f_units, h_units=args.h_units)
+    if args.sigma_y is not None:
+        params["sigma_y"] = args.sigma_y
+    if args.sigma_x is not None:
+        params["sigma_x"] = args.sigma_x
+    if args.sigma_v is not None:
+        params["sigma_v"] = args.sigma_v
+
+    cls = IdentifiableCausalBGM if args.identifiable else CausalBGM
+    model = cls(params, random_seed=seed)
+
+    t0 = time.time()
+    model.fit((x, y, v), epochs=args.epochs, epochs_per_eval=10,
+              batch_size=32, use_egm_init=not args.no_egm,
+              egm_n_iter=args.egm, egm_batches_per_eval=args.egm,
+              verbose=0)
+    t_fit = time.time() - t0
+
+    grid = np.linspace(0, 3, 20)
+    true = get_ADRF(x_values=grid, dataset="Imbens")
+
+    out = dict(seed=seed, best_epoch=model.best_epoch, fit_s=round(t_fit, 1))
+    t0 = time.time()
+    kw = {} if args.identifiable else dict(use_best_nets=False)
+    adrf, _ = model.predict((x, y, v), alpha=0.01, n_mcmc=3000, burn_in=5000,
+                            x_values=grid, q_sd=1.0, **kw)
+    out["rmse"] = float(np.sqrt(np.mean((adrf - true) ** 2)))
+    out["mape"] = float(np.mean(np.abs((adrf - true) / true)))
+    out["predict_s"] = round(time.time() - t0, 1)
+    if args.also_best and not args.identifiable:
+        adrf_b, _ = model.predict((x, y, v), alpha=0.01, n_mcmc=3000, burn_in=5000,
+                                  x_values=grid, q_sd=1.0, use_best_nets=True)
+        out["rmse_best_nets"] = float(np.sqrt(np.mean((adrf_b - true) ** 2)))
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--seeds", type=int, nargs="+", default=[123, 456, 789, 1011, 1213])
+    p.add_argument("--data_seed", type=int, default=0)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--egm", type=int, default=30000)
+    p.add_argument("--no_egm", action="store_true")
+    p.add_argument("--no_bnn", action="store_true")
+    p.add_argument("--identifiable", action="store_true")
+    p.add_argument("--also_best", action="store_true",
+                   help="also predict with the best-mse_y nets snapshot")
+    p.add_argument("--kl_weight", type=float, default=1e-4)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--lr_theta", type=float, default=1e-4)
+    p.add_argument("--lr_z", type=float, default=1e-4)
+    p.add_argument("--use_z_rec", type=float, default=1.0)
+    p.add_argument("--sigma_v", type=float, default=None)
+    p.add_argument("--sigma_x", type=float, default=None)
+    p.add_argument("--sigma_y", type=float, default=None)
+    p.add_argument("--g_units", type=int, nargs="+", default=[64, 64, 64, 64, 64])
+    p.add_argument("--e_units", type=int, nargs="+", default=[64, 64, 64, 64, 64])
+    p.add_argument("--f_units", type=int, nargs="+", default=[64, 32, 8])
+    p.add_argument("--h_units", type=int, nargs="+", default=[64, 32, 8])
+    p.add_argument("--output_dir", type=str, default="/tmp/hi_protocol")
+    args = p.parse_args()
+
+    results = [run_seed(s, args) for s in args.seeds]
+    rmses = sorted(r["rmse"] for r in results)
+    summary = dict(median_rmse=float(np.median(rmses)), rmses=rmses,
+                   reference_rmse=0.0188, bar=0.022)
+    if all("rmse_best_nets" in r for r in results):
+        summary["median_rmse_best_nets"] = float(
+            np.median([r["rmse_best_nets"] for r in results]))
+    print("SUMMARY " + json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()
