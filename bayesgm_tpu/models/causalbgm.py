@@ -178,13 +178,19 @@ def _latent_loss(cfg, nets, z, x, y, v, key):
 # ---------------------------------------------------------------------------
 
 
-def _train_batch_step(cfg: CBGMConfig, carry, idx, key, data):
+def _train_batch_step(cfg: CBGMConfig, carry, idx, key, data, fused_latent_vg=None):
     """One iterative-updating step: g/h/f Adam updates on the batch's current
     Z rows, then a row-sparse Adam step on the latent table
     (fit driver, base.py:493-505).
 
     The per-batch PRNG key comes in as scan input (not carry) so the whole
-    training state is the externally-checkpointable carry pytree."""
+    training state is the externally-checkpointable carry pytree.
+
+    ``fused_latent_vg`` (non-BNN, TPU): a
+    ``pallas_kernels.make_fused_causal_logp_and_grad`` closure — the latent
+    value-and-grad then runs as ONE fused kernel launch instead of the XLA
+    forward+backward pair (the non-BNN posterior is deterministic, so the
+    swap is numerically exact up to kernel fp tolerance)."""
     nets, opts, z_table, z_opt = carry
     x, y, v = data
     bx, by, bv = x[idx], y[idx], v[idx]
@@ -206,8 +212,20 @@ def _train_batch_step(cfg: CBGMConfig, carry, idx, key, data):
     nets = {**nets, "g": new_g, "h": new_h, "f": new_f}
     opts = {**opts, "g": opt_g, "h": opt_h, "f": opt_f}
 
-    loss_post, z_grads = jax.value_and_grad(
-        lambda zr: _latent_loss(cfg, nets, zr, bx, by, bv, kz))(bz)
+    if fused_latent_vg is not None:
+        from bayesgm_tpu.ops import pallas_kernels as pk
+
+        neg_rows, grad_rows = fused_latent_vg(
+            bz, bx, by, bv,
+            pk.flatten_mlp_params(nets["g"]),
+            pk.flatten_mlp_params(nets["h"]),
+            pk.flatten_mlp_params(nets["f"]))
+        inv_b = 1.0 / bz.shape[0]
+        loss_post = jnp.mean(neg_rows)
+        z_grads = grad_rows * inv_b  # grad of the batch-mean loss
+    else:
+        loss_post, z_grads = jax.value_and_grad(
+            lambda zr: _latent_loss(cfg, nets, zr, bx, by, bv, kz))(bz)
     z_table, z_opt = optim.table_adam_update_rows(z_grads, idx, z_opt, z_table, cfg.lr_z)
 
     losses = dict(loss_v=loss_v, mse_v=mse_v, loss_x=loss_x, mse_x=mse_x,
@@ -736,8 +754,32 @@ class CausalBGM:
         n_full = n // batch_size
         remainder = n - n_full * batch_size
 
-        epoch_fn = jax.jit(partial(self._train_epoch, cfg))
-        rem_fn = jax.jit(partial(_train_batch_step, cfg)) if remainder else None
+        # Fused latent update (VERDICT: make Pallas the training hot path):
+        # non-BNN on TPU runs the latent value-and-grad as one kernel launch.
+        fused_vg = None
+        use_pallas = self.params.get("use_pallas_latent", "auto")
+        if use_pallas == "auto":
+            from bayesgm_tpu.ops import pallas_kernels as pk
+
+            use_pallas = (not cfg.use_bnn) and pk.on_tpu() and mesh is None
+        if use_pallas:
+            from bayesgm_tpu.ops import pallas_kernels as pk
+
+            try:
+                fused_vg = pk.make_fused_causal_logp_and_grad(
+                    cfg, pk.mlp_layer_dims(self.nets["g"]),
+                    pk.mlp_layer_dims(self.nets["h"]),
+                    pk.mlp_layer_dims(self.nets["f"]),
+                    block_rows=max(8, ((batch_size + 7) // 8) * 8))
+            except Exception as e:  # pragma: no cover
+                import warnings
+
+                warnings.warn(f"Fused latent update unavailable "
+                              f"({type(e).__name__}: {e}); using XLA.")
+
+        epoch_fn = jax.jit(partial(self._train_epoch, cfg, fused_latent_vg=fused_vg))
+        rem_fn = (jax.jit(partial(_train_batch_step, cfg, fused_latent_vg=fused_vg))
+                  if remainder else None)
 
         print("Iterative Updating Starts ...")
         from tqdm import tqdm
@@ -784,9 +826,10 @@ class CausalBGM:
         self.nets, self.opts, self.data_z, z_opt = carry
 
     @staticmethod
-    def _train_epoch(cfg, carry, idx_matrix, key, data):
+    def _train_epoch(cfg, carry, idx_matrix, key, data, fused_latent_vg=None):
         keys = jax.random.split(key, idx_matrix.shape[0])
-        step = partial(_train_batch_step, cfg, data=data)
+        step = partial(_train_batch_step, cfg, data=data,
+                       fused_latent_vg=fused_latent_vg)
         carry, losses = jax.lax.scan(lambda c, xs: step(c, xs[0], xs[1]), carry,
                                      (idx_matrix, keys))
         return carry, {k: val[-1] for k, val in losses.items()}

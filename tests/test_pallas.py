@@ -91,6 +91,35 @@ def test_fused_bnn_logp_matches_xla_in_deterministic_limit():
     np.testing.assert_allclose(neg_p, neg_x, rtol=1e-3, atol=1e-3)
 
 
+def test_fused_latent_update_matches_xla_training(tmp_path):
+    """fit() with use_pallas_latent=True (interpret mode on CPU) must produce
+    the same training trajectory as the XLA latent update — the non-BNN
+    posterior is deterministic, so the swap is numerically exact."""
+    from bayesgm_tpu.models.causalbgm import CausalBGM
+
+    rng = np.random.RandomState(0)
+    n, v_dim = 64, 4
+    v = rng.randn(n, v_dim).astype("float32")
+    x = rng.rand(n, 1).astype("float32")
+    y = (x + v[:, :1]).astype("float32")
+    base = dict(v_dim=v_dim, z_dims=[1, 1, 1, 2], binary_treatment=False,
+                dataset="fused", output_dir=str(tmp_path), use_bnn=False,
+                g_units=[8], e_units=[8], f_units=[8], h_units=[8], dz_units=[8],
+                save_res=False, save_model=False)
+
+    def run(flag):
+        m = CausalBGM({**base, "use_pallas_latent": flag}, random_seed=9)
+        m.fit((x, y, v), epochs=2, epochs_per_eval=2, batch_size=16,
+              use_egm_init=False, verbose=0)
+        return m
+
+    m_fused, m_xla = run(True), run(False)
+    np.testing.assert_allclose(np.asarray(m_fused.data_z), np.asarray(m_xla.data_z),
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(m_fused.nets), jax.tree.leaves(m_xla.nets)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
 def test_pick_block_rows():
     assert pk.pick_block_rows(4 * 500) == 2048
     assert pk.pick_block_rows(4 * 500, budget_bytes=2**20) == 512
