@@ -44,6 +44,16 @@ class _KeyedModule:
         self._key, k = jax.random.split(self._key)
         return k
 
+    def _store_state(self, new_state):
+        """Keep the BatchNorm running-stats side effect, but never capture
+        tracers: calling a facade net inside ``jax.jit`` would otherwise
+        store abstract values on the instance and poison later eager calls.
+        Under tracing the stats update is a no-op (use the functional layer
+        directly when you need state threading through jit)."""
+        if not any(isinstance(leaf, jax.core.Tracer)
+                   for leaf in jax.tree.leaves(new_state)):
+            self.state = new_state
+
 
 class BaseFullyConnectedNet(_KeyedModule):
     """Plain LeakyReLU MLP, linear final layer (networks/base.py:4-51)."""
@@ -86,7 +96,7 @@ class BaseVariationalNet(_KeyedModule):
         mean, var, new_state = _nn.variational_mlp_apply(
             self.params, jnp.asarray(x, jnp.float32), self.state, train=training)
         if training:
-            self.state = new_state
+            self._store_state(new_state)
         return mean, var
 
     def reparameterize(self, mean, var):
@@ -108,7 +118,7 @@ class BaseVariationalLowRankNet(_KeyedModule):
         mean, var_diag, u, new_state = _nn.lowrank_variational_mlp_apply(
             self.params, jnp.asarray(x, jnp.float32), self.meta, self.state, train=training)
         if training:
-            self.state = new_state
+            self._store_state(new_state)
         return mean, var_diag, u
 
     def reparameterize(self, mean, var_diag, u):
@@ -156,7 +166,7 @@ class BayesianVariationalNet(_KeyedModule):
             self.params, jnp.asarray(x, jnp.float32), self._next_key(),
             state=self.state, train=training)
         if training:
-            self.state = new_state
+            self._store_state(new_state)
         return mean, var
 
     def reparameterize(self, mean, var):
@@ -181,7 +191,7 @@ class BayesianVariationalLowRankNet(_KeyedModule):
             self.params, jnp.asarray(x, jnp.float32), self._next_key(), self.meta,
             state=self.state, train=training)
         if training:
-            self.state = new_state
+            self._store_state(new_state)
         return mean, var_diag, u
 
     def reparameterize(self, mean, var_diag, u):
