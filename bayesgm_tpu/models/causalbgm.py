@@ -186,11 +186,13 @@ def _train_batch_step(cfg: CBGMConfig, carry, idx, key, data, fused_latent_vg=No
     The per-batch PRNG key comes in as scan input (not carry) so the whole
     training state is the externally-checkpointable carry pytree.
 
-    ``fused_latent_vg`` (non-BNN, TPU): a
-    ``pallas_kernels.make_fused_causal_logp_and_grad`` closure — the latent
-    value-and-grad then runs as ONE fused kernel launch instead of the XLA
-    forward+backward pair (the non-BNN posterior is deterministic, so the
-    swap is numerically exact up to kernel fp tolerance)."""
+    ``fused_latent_vg`` (TPU): a ``(bz, bx, by, bv, nets, key) ->
+    (neg_rows, grad_rows)`` closure over the fused forward+backward Pallas
+    kernels — the latent value-and-grad then runs as ONE kernel launch
+    instead of the XLA forward+backward pair.  The non-BNN swap is
+    numerically exact; the flipout (default) swap draws its weight noise
+    from the on-core PRNG instead of threefry (same estimator, different
+    stream)."""
     nets, opts, z_table, z_opt = carry
     x, y, v = data
     bx, by, bv = x[idx], y[idx], v[idx]
@@ -213,16 +215,9 @@ def _train_batch_step(cfg: CBGMConfig, carry, idx, key, data, fused_latent_vg=No
     opts = {**opts, "g": opt_g, "h": opt_h, "f": opt_f}
 
     if fused_latent_vg is not None:
-        from bayesgm_tpu.ops import pallas_kernels as pk
-
-        neg_rows, grad_rows = fused_latent_vg(
-            bz, bx, by, bv,
-            pk.flatten_mlp_params(nets["g"]),
-            pk.flatten_mlp_params(nets["h"]),
-            pk.flatten_mlp_params(nets["f"]))
-        inv_b = 1.0 / bz.shape[0]
+        neg_rows, grad_rows = fused_latent_vg(bz, bx, by, bv, nets, kz)
         loss_post = jnp.mean(neg_rows)
-        z_grads = grad_rows * inv_b  # grad of the batch-mean loss
+        z_grads = grad_rows / bz.shape[0]  # grad of the batch-mean loss
     else:
         loss_post, z_grads = jax.value_and_grad(
             lambda zr: _latent_loss(cfg, nets, zr, bx, by, bv, kz))(bz)
@@ -463,6 +458,8 @@ class CausalBGM:
         self.best_causal_pre = None
         self.best_epoch = None
         self.best_nets = None  # snapshot of nets at the best-mse_y eval
+        self.swa_nets = None   # running average of eval-epoch snapshots
+        self._swa_count = 0    # (tail half of training; see fit)
 
         self.timestamp = timestamp
         if self.timestamp is None:
@@ -634,6 +631,8 @@ class CausalBGM:
             "best_epoch": jnp.zeros((), jnp.int32),
             "best_causal_pre": jnp.zeros(causal_shape, jnp.float32),
             "best_nets": self.nets,
+            "swa_nets": self.nets,
+            "swa_count": jnp.zeros((), jnp.int32),
         }
 
     def _full_state_bundle(self, z_opt, epoch, best_loss):
@@ -652,6 +651,8 @@ class CausalBGM:
             "best_causal_pre": (zero_pre if self.best_causal_pre is None
                                 else jnp.asarray(self.best_causal_pre).reshape(zero_pre.shape)),
             "best_nets": self.best_nets if self.best_nets is not None else self.nets,
+            "swa_nets": self.swa_nets if self.swa_nets is not None else self.nets,
+            "swa_count": jnp.asarray(self._swa_count, jnp.int32),
         }
 
     def _apply_full_state(self, state):
@@ -664,6 +665,8 @@ class CausalBGM:
         self.best_epoch = int(state["best_epoch"])
         self.best_causal_pre = np.asarray(state["best_causal_pre"])
         self.best_nets = state["best_nets"]
+        self._swa_count = int(state["swa_count"])
+        self.swa_nets = state["swa_nets"] if self._swa_count > 0 else None
         return state["z_opt"], int(state["epoch"]), float(state["best_loss"])
 
     def _try_resume(self, n):
@@ -755,27 +758,10 @@ class CausalBGM:
         remainder = n - n_full * batch_size
 
         # Fused latent update (VERDICT: make Pallas the training hot path):
-        # non-BNN on TPU runs the latent value-and-grad as one kernel launch.
-        fused_vg = None
-        use_pallas = self.params.get("use_pallas_latent", "auto")
-        if use_pallas == "auto":
-            from bayesgm_tpu.ops import pallas_kernels as pk
-
-            use_pallas = (not cfg.use_bnn) and pk.on_tpu() and mesh is None
-        if use_pallas:
-            from bayesgm_tpu.ops import pallas_kernels as pk
-
-            try:
-                fused_vg = pk.make_fused_causal_logp_and_grad(
-                    cfg, pk.mlp_layer_dims(self.nets["g"]),
-                    pk.mlp_layer_dims(self.nets["h"]),
-                    pk.mlp_layer_dims(self.nets["f"]),
-                    block_rows=max(8, ((batch_size + 7) // 8) * 8))
-            except Exception as e:  # pragma: no cover
-                import warnings
-
-                warnings.warn(f"Fused latent update unavailable "
-                              f"({type(e).__name__}: {e}); using XLA.")
+        # the latent value-and-grad runs as one kernel launch on TPU — the
+        # non-BNN kernel everywhere, the flipout kernel for the default BNN
+        # configuration (single-device: the in-kernel PRNG is per-core).
+        fused_vg = self._build_fused_latent_vg(batch_size, mesh)
 
         epoch_fn = jax.jit(partial(self._train_epoch, cfg, fused_latent_vg=fused_vg))
         rem_fn = (jax.jit(partial(_train_batch_step, cfg, fused_latent_vg=fused_vg))
@@ -815,6 +801,19 @@ class CausalBGM:
                     self.best_causal_pre = causal_pre
                     self.best_epoch = epoch
                     self.best_nets = self.nets
+                # Tail weight averaging (SWA): running mean of the eval-epoch
+                # snapshots over the last half of training.  The iterative
+                # dynamic keeps wandering around the optimum (per-seed
+                # variance between 'best' and 'final' nets); the average is a
+                # lower-variance estimator.  predict(use_swa_nets=True).
+                if epoch >= epochs // 2:
+                    self._swa_count += 1
+                    if self.swa_nets is None:
+                        self.swa_nets = self.nets
+                    else:
+                        w = 1.0 / self._swa_count
+                        self.swa_nets = jax.tree.map(
+                            lambda a, b: a + (b - a) * w, self.swa_nets, self.nets)
                 if self.params["save_model"]:
                     path = ckpt_lib.save_checkpoint(
                         self.checkpoint_path, epoch,
@@ -824,6 +823,54 @@ class CausalBGM:
                     save_data(f"{self.save_dir}/causal_pre_at_{epoch}.{save_format}", causal_pre)
 
         self.nets, self.opts, self.data_z, z_opt = carry
+
+    def _build_fused_latent_vg(self, batch_size, mesh):
+        """Closure running the latent value-and-grad as one fused Pallas
+        kernel, or None when the XLA path should be used (CPU, mesh runs,
+        or params['use_pallas_latent']=False)."""
+        from bayesgm_tpu.ops import pallas_kernels as pk
+
+        cfg = self.cfg
+        use_pallas = self.params.get("use_pallas_latent", "auto")
+        if use_pallas == "auto":
+            use_pallas = pk.on_tpu() and mesh is None
+        if cfg.use_bnn and not pk.on_tpu():
+            use_pallas = False  # the flipout kernel needs the on-core PRNG
+        if not use_pallas:
+            return None
+        block = max(8, ((batch_size + 7) // 8) * 8)
+        try:
+            if cfg.use_bnn:
+                fused = pk.make_fused_causal_logp_and_grad_bnn(
+                    cfg, pk.flipout_mlp_layer_dims(self.nets["g"]),
+                    pk.flipout_mlp_layer_dims(self.nets["h"]),
+                    pk.flipout_mlp_layer_dims(self.nets["f"]), block_rows=block)
+
+                def vg(bz, bx, by, bv, nets, key):
+                    return fused(bz, bx, by, bv, pk.key_to_seed(key),
+                                 pk.flatten_flipout_params(nets["g"]),
+                                 pk.flatten_flipout_params(nets["h"]),
+                                 pk.flatten_flipout_params(nets["f"]))
+
+            else:
+                fused = pk.make_fused_causal_logp_and_grad(
+                    cfg, pk.mlp_layer_dims(self.nets["g"]),
+                    pk.mlp_layer_dims(self.nets["h"]),
+                    pk.mlp_layer_dims(self.nets["f"]), block_rows=block)
+
+                def vg(bz, bx, by, bv, nets, key):
+                    return fused(bz, bx, by, bv,
+                                 pk.flatten_mlp_params(nets["g"]),
+                                 pk.flatten_mlp_params(nets["h"]),
+                                 pk.flatten_mlp_params(nets["f"]))
+
+            return vg
+        except Exception as e:  # pragma: no cover
+            import warnings
+
+            warnings.warn(f"Fused latent update unavailable "
+                          f"({type(e).__name__}: {e}); using XLA.")
+            return None
 
     @staticmethod
     def _train_epoch(cfg, carry, idx_matrix, key, data, fused_latent_vg=None):
@@ -883,25 +930,47 @@ class CausalBGM:
 
         if cfg.use_bnn:
             # Default configuration: the flipout posterior runs in the fused
-            # BNN kernel (all weight noise drawn by the on-core PRNG).  No
-            # hand-written VJP yet, and interpret mode has no TPU PRNG, so
-            # gradient samplers and CPU runs use the XLA composite.
-            if differentiable or not pk.on_tpu():
+            # BNN kernels (all weight noise drawn by the on-core PRNG).
+            # Interpret mode has no TPU PRNG, so CPU runs keep the XLA
+            # composite.
+            if not pk.on_tpu():
                 return xla_log_prob
             try:
-                fused = pk.make_fused_causal_logp_bnn(
-                    cfg, pk.flipout_mlp_layer_dims(nets["g"]),
-                    pk.flipout_mlp_layer_dims(nets["h"]),
-                    pk.flipout_mlp_layer_dims(nets["f"]))
                 gf = pk.flatten_flipout_params(nets["g"])
                 hf = pk.flatten_flipout_params(nets["h"])
                 ff = pk.flatten_flipout_params(nets["f"])
+                dims = (pk.flipout_mlp_layer_dims(nets["g"]),
+                        pk.flipout_mlp_layer_dims(nets["h"]),
+                        pk.flipout_mlp_layer_dims(nets["f"]))
+                if not differentiable:
+                    fused = pk.make_fused_causal_logp_bnn(cfg, *dims)
 
-                def fused_bnn_log_prob(z, key):
-                    return -fused(z, data_x, data_y, data_v, pk.key_to_seed(key),
-                                  gf, hf, ff)
+                    def fused_bnn_log_prob(z, key):
+                        return -fused(z, data_x, data_y, data_v,
+                                      pk.key_to_seed(key), gf, hf, ff)
 
-                return fused_bnn_log_prob
+                    return fused_bnn_log_prob
+
+                # Gradient samplers (MALA/HMC): the fused forward+backward
+                # kernel differentiates through the SAME weight-noise draw.
+                fused_vg = pk.make_fused_causal_logp_and_grad_bnn(cfg, *dims)
+
+                @jax.custom_vjp
+                def log_prob(z, key):
+                    neg, _ = fused_vg(z, data_x, data_y, data_v,
+                                      pk.key_to_seed(key), gf, hf, ff)
+                    return -neg
+
+                def fwd(z, key):
+                    neg, grad_neg = fused_vg(z, data_x, data_y, data_v,
+                                             pk.key_to_seed(key), gf, hf, ff)
+                    return -neg, grad_neg
+
+                def bwd(grad_neg, cotangent):
+                    return -cotangent[:, None] * grad_neg, None
+
+                log_prob.defvjp(fwd, bwd)
+                return log_prob
             except Exception as e:  # pragma: no cover - pallas unavailable
                 import warnings
 
@@ -998,7 +1067,7 @@ class CausalBGM:
 
     def predict(self, data, alpha=0.01, n_mcmc=3000, burn_in=5000, x_values=None,
                 q_sd=1.0, sample_y=True, bs=10000, sampler="mh",
-                use_best_nets=False, mesh=None):
+                use_best_nets=False, use_swa_nets=False, mesh=None):
         """Causal effects with posterior intervals from latent MCMC
         (reference predict, base.py:573-668).
 
@@ -1034,10 +1103,14 @@ class CausalBGM:
         data_x, data_y, data_v = [np.asarray(a, dtype=np.float32) for a in data]
         n_test = len(data_x)
         bs = max(1, int(bs))
-        # use_best_nets: infer with the best-mse_y epoch's snapshot instead
-        # of the final nets (the reference always predicts with final nets;
-        # best-epoch selection is an accuracy lever measured in RESULTS.md).
-        nets = self.best_nets if (use_best_nets and self.best_nets is not None) else self.nets
+        # use_best_nets / use_swa_nets: infer with the best-mse_y snapshot or
+        # the tail weight-average instead of the final nets (the reference
+        # always predicts with final nets; both levers measured in RESULTS.md).
+        nets = self.nets
+        if use_best_nets and self.best_nets is not None:
+            nets = self.best_nets
+        elif use_swa_nets and self.swa_nets is not None:
+            nets = self.swa_nets
 
         adaptive = q_sd is None or q_sd <= 0
         q0 = 1.0 if adaptive else float(q_sd)

@@ -273,6 +273,15 @@ class IdentifiableCausalBGM(cb.CausalBGM):
                     best_loss = mse_y
                     self.best_causal_pre = causal_pre
                     self.best_epoch = epoch
+                    self.best_nets = self.nets
+                if epoch >= epochs // 2:  # tail weight averaging (see CausalBGM.fit)
+                    self._swa_count += 1
+                    if self.swa_nets is None:
+                        self.swa_nets = self.nets
+                    else:
+                        w = 1.0 / self._swa_count
+                        self.swa_nets = jax.tree.map(
+                            lambda a, b: a + (b - a) * w, self.swa_nets, self.nets)
                 if self.params["save_model"]:
                     from bayesgm_tpu.utils import checkpoint as ckpt_lib
 
@@ -307,8 +316,9 @@ class IdentifiableCausalBGM(cb.CausalBGM):
         rows = rows + _conditional_prior_nll(self.cfg, self.prior_net, z, u, k_prior)
         return -rows
 
-    def _log_prob_with_u(self, data, data_u):
-        cfg, nets, prior_net = self.cfg, self.nets, self.prior_net
+    def _log_prob_with_u(self, data, data_u, nets=None):
+        cfg, prior_net = self.cfg, self.prior_net
+        nets = self.nets if nets is None else nets
         x, y, v = data
 
         def log_prob(z, key):
@@ -346,7 +356,8 @@ class IdentifiableCausalBGM(cb.CausalBGM):
         return np.asarray(res.samples), np.asarray(data_u)
 
     def predict(self, data, alpha=0.01, n_mcmc=3000, burn_in=5000, x_values=None,
-                q_sd=1.0, sample_y=True, bs=10000, mesh=None):
+                q_sd=1.0, sample_y=True, bs=10000, mesh=None,
+                use_best_nets=False, use_swa_nets=False):
         """Same interface as :meth:`CausalBGM.predict`, with the conditional
         prior in the chain (identifiable.py:350-420; ``burn_in`` is forwarded,
         fixing the reference's dropped-kwarg bug).  The continuous-treatment
@@ -364,7 +375,12 @@ class IdentifiableCausalBGM(cb.CausalBGM):
         bs = max(1, int(bs))
         adaptive = q_sd is None or q_sd <= 0
         q0 = 1.0 if adaptive else float(q_sd)
-        collect = cb._effect_collector(cfg, self.nets, x_values, sample_y)
+        nets = self.nets
+        if use_best_nets and self.best_nets is not None:
+            nets = self.best_nets
+        elif use_swa_nets and self.swa_nets is not None:
+            nets = self.swa_nets
+        collect = cb._effect_collector(cfg, nets, x_values, sample_y)
         print("MCMC Latent Variable Sampling ...")
 
         def run_batch(bx, by, bv):
@@ -378,7 +394,7 @@ class IdentifiableCausalBGM(cb.CausalBGM):
                 data_u = shard_rows(data_u, mesh)
                 init = shard_rows(init, mesh)
             res = mcmc.adaptive_mh(
-                self._log_prob_with_u(batch, data_u), init, self._next_key(),
+                self._log_prob_with_u(batch, data_u, nets=nets), init, self._next_key(),
                 burn_in=burn_in, n_keep=n_mcmc, q_sd=q0, adaptive=adaptive,
                 recompute_current=cfg.use_bnn, collect=collect)
             print(f"Final MCMC Acceptance Rate: {float(res.accept_rate):.4f}")

@@ -394,6 +394,200 @@ def make_fused_causal_logp_bnn(cfg, g_dims, h_dims, f_dims,
     return fn
 
 
+def _flipout_chain_with_tape(h, refs, n_layers):
+    """Flipout forward retaining everything the in-kernel backward needs:
+    per-layer inputs are implicit (recomputable), so we keep the perturbation
+    matrices P = sig*eps, the sign pairs, and pre-activations."""
+    h = h * refs[0][:] + refs[1][:]
+    tape = []
+    for i in range(n_layers):
+        loc = refs[2 + 3 * i][:]
+        sig = refs[2 + 3 * i + 1][:]
+        b = refs[2 + 3 * i + 2][:]
+        P = sig * _kernel_normal(loc.shape)
+        r_in = _kernel_signs((h.shape[0], loc.shape[0]))
+        r_out = _kernel_signs((h.shape[0], loc.shape[1]))
+        pre = (jnp.dot(h, loc, preferred_element_type=jnp.float32) + b
+               + jnp.dot(h * r_in, P, preferred_element_type=jnp.float32) * r_out)
+        tape.append((loc, P, r_in, r_out, pre))
+        h = _leaky(pre) if i < n_layers - 1 else pre
+    return h, tape
+
+
+def _flipout_backprop_input(cot, tape, gamma_eff):
+    """d(loss)/d(chain input) through the stochastic flipout forward (same
+    noise as the tape), including the input affine gamma_eff."""
+    for i in range(len(tape) - 1, -1, -1):
+        loc, P, r_in, r_out, pre = tape[i]
+        g = (jnp.dot(cot, loc.T, preferred_element_type=jnp.float32)
+             + jnp.dot(cot * r_out, P.T, preferred_element_type=jnp.float32) * r_in)
+        if i > 0:
+            prev_pre = tape[i - 1][4]
+            g = g * jnp.where(prev_pre > 0, 1.0, LEAKY_SLOPE)
+        cot = g
+    return cot * gamma_eff
+
+
+def make_fused_causal_logp_and_grad_bnn(cfg, g_dims, h_dims, f_dims,
+                                        block_rows: int | None = None,
+                                        interpret: bool | None = None):
+    """Fused flipout-BNN negative log-posterior AND its z-gradient in ONE
+    pallas_call: the three stochastic chains keep their noise (perturbation
+    matrices, sign pairs) and pre-activations in VMEM, and the hand-written
+    backward differentiates through the SAME weight-noise draw — a training
+    latent update or a MALA/HMC step for the DEFAULT configuration is a
+    single kernel launch.
+
+    Returns ``fn(z, x, y, v, seed, g_flat, h_flat, f_flat) ->
+    (neg_logp (n,), d neg_logp/dz (n, z_dim))``.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = not on_tpu()
+    d0, d1, d2, _ = cfg.z_dims
+    z_dim = sum(cfg.z_dims)
+    v_dim = cfg.v_dim
+    if block_rows is None:
+        max_width = max(*g_dims, *h_dims, *f_dims)
+        n_deep = max(len(g_dims), len(h_dims), len(f_dims))
+        # tape: 3 block-sized arrays per layer (r_in, r_out, pre)
+        row_bytes = 4 * (z_dim + 2 + 2 * (v_dim + 1) + 3 * max_width * n_deep)
+        block_rows = pick_block_rows(row_bytes, budget_bytes=3 * 2**20)
+    n_g = len(g_dims) - 1
+    n_h = len(h_dims) - 1
+    n_f = len(f_dims) - 1
+    eps_f = 1e-6
+
+    def kernel(seed_ref, z_ref, x_ref, y_ref, v_ref, *refs):
+        logp_ref, grad_ref = refs[-2], refs[-1]
+        wrefs = refs[:-2]
+        g_refs = wrefs[: 2 + 3 * n_g]
+        h_refs = wrefs[2 + 3 * n_g : 4 + 3 * (n_g + n_h)]
+        f_refs = wrefs[4 + 3 * (n_g + n_h) :]
+
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 1103515245, seed_ref[1])
+
+        z = z_ref[:]
+        x = x_ref[:]
+        y = y_ref[:]
+        v = v_ref[:]
+        z0 = z[:, :d0]
+        z1 = z[:, d0 : d0 + d1]
+        z2 = z[:, d0 + d1 : d0 + d1 + d2]
+        b = z.shape[0]
+
+        # ----- g branch -----
+        g_out, g_tape = _flipout_chain_with_tape(z, g_refs, n_g)
+        mu_v = g_out[:, :v_dim]
+        diff_v = v - mu_v
+        sq_v = jnp.sum(diff_v**2, axis=1)
+        if cfg.sigma_v is not None:
+            s_v = jnp.float32(cfg.sigma_v) ** 2
+            loss_v = sq_v / (2.0 * s_v) + v_dim * jnp.log(s_v) / 2.0
+            cot_g = jnp.concatenate([-diff_v / s_v, jnp.zeros_like(g_out[:, :1])], axis=1)
+        else:
+            s_raw = g_out[:, v_dim]
+            s_v = jax.nn.softplus(s_raw) + eps_f
+            loss_v = sq_v / (2.0 * s_v) + v_dim * jnp.log(s_v) / 2.0
+            dl_ds = -sq_v / (2.0 * s_v**2) + v_dim / (2.0 * s_v)
+            cot_g = jnp.concatenate(
+                [-diff_v / s_v[:, None], (dl_ds * jax.nn.sigmoid(s_raw))[:, None]], axis=1)
+        dz_g = _flipout_backprop_input(cot_g, g_tape, g_refs[0][:])
+
+        # ----- h branch -----
+        h_in = jnp.concatenate([z0, z2], axis=1)
+        h_out, h_tape = _flipout_chain_with_tape(h_in, h_refs, n_h)
+        mu_x = h_out[:, 0:1]
+        if cfg.binary_treatment:
+            lx = mu_x[:, 0]
+            loss_x = jnp.maximum(lx, 0.0) - lx * x[:, 0] + jnp.log1p(jnp.exp(-jnp.abs(lx)))
+            cot_h = jnp.concatenate(
+                [(jax.nn.sigmoid(lx) - x[:, 0])[:, None], jnp.zeros_like(h_out[:, :1])], axis=1)
+        else:
+            diff_x = x - mu_x
+            sq_x = jnp.sum(diff_x**2, axis=1)
+            if cfg.sigma_x is not None:
+                s_x = jnp.float32(cfg.sigma_x) ** 2
+                loss_x = sq_x / (2.0 * s_x) + jnp.log(s_x) / 2.0
+                cot_h = jnp.concatenate([-diff_x / s_x, jnp.zeros_like(h_out[:, :1])], axis=1)
+            else:
+                sx_raw = h_out[:, 1]
+                s_x = jax.nn.softplus(sx_raw) + eps_f
+                loss_x = sq_x / (2.0 * s_x) + jnp.log(s_x) / 2.0
+                dl_dsx = -sq_x / (2.0 * s_x**2) + 1.0 / (2.0 * s_x)
+                cot_h = jnp.concatenate(
+                    [-diff_x / s_x[:, None], (dl_dsx * jax.nn.sigmoid(sx_raw))[:, None]], axis=1)
+        din_h = _flipout_backprop_input(cot_h, h_tape, h_refs[0][:])
+
+        # ----- f branch -----
+        f_in = jnp.concatenate([z0, z1, x], axis=1)
+        f_out, f_tape = _flipout_chain_with_tape(f_in, f_refs, n_f)
+        mu_y = f_out[:, 0:1]
+        diff_y = y - mu_y
+        sq_y = jnp.sum(diff_y**2, axis=1)
+        if cfg.sigma_y is not None:
+            s_y = jnp.float32(cfg.sigma_y) ** 2
+            loss_y = sq_y / (2.0 * s_y) + jnp.log(s_y) / 2.0
+            cot_f = jnp.concatenate([-diff_y / s_y, jnp.zeros_like(f_out[:, :1])], axis=1)
+        else:
+            sy_raw = f_out[:, 1]
+            s_y = jax.nn.softplus(sy_raw) + eps_f
+            loss_y = sq_y / (2.0 * s_y) + jnp.log(s_y) / 2.0
+            dl_dsy = -sq_y / (2.0 * s_y**2) + 1.0 / (2.0 * s_y)
+            cot_f = jnp.concatenate(
+                [-diff_y / s_y[:, None], (dl_dsy * jax.nn.sigmoid(sy_raw))[:, None]], axis=1)
+        din_f = _flipout_backprop_input(cot_f, f_tape, f_refs[0][:])
+
+        loss_prior = jnp.sum(z * z, axis=1) / 2.0
+        logp_ref[:] = (loss_v + loss_x + loss_y + loss_prior)[:, None]
+
+        pad3 = z_dim - (d0 + d1 + d2)
+        dz_h = jnp.concatenate(
+            [din_h[:, :d0], jnp.zeros((b, d1), jnp.float32), din_h[:, d0:],
+             jnp.zeros((b, pad3), jnp.float32)], axis=1)
+        dz_f = jnp.concatenate(
+            [din_f[:, : d0 + d1], jnp.zeros((b, d2 + pad3), jnp.float32)], axis=1)
+        grad_ref[:] = dz_g + dz_h + dz_f + z
+
+    def fn(z, x, y, v, seed, g_flat, h_flat, f_flat):
+        n = z.shape[0]
+        n_pad = _round_up(max(n, 8), block_rows)
+        if n_pad != n:
+            pad = ((0, n_pad - n), (0, 0))
+            z = jnp.pad(z, pad)
+            x = jnp.pad(x, pad)
+            y = jnp.pad(y, pad)
+            v = jnp.pad(v, pad)
+        grid = (n_pad // block_rows,)
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_rows, z_dim), lambda i: (i, 0)),
+            pl.BlockSpec((block_rows, 1), lambda i: (i, 0)),
+            pl.BlockSpec((block_rows, 1), lambda i: (i, 0)),
+            pl.BlockSpec((block_rows, v_dim), lambda i: (i, 0)),
+        ]
+        flat = [*g_flat, *h_flat, *f_flat]
+        for p in flat:
+            if p.ndim == 2:
+                in_specs.append(pl.BlockSpec(p.shape, lambda i: (0, 0)))
+            else:
+                in_specs.append(pl.BlockSpec(p.shape, lambda i: (0,)))
+        neg_logp, grad = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(pl.BlockSpec((block_rows, 1), lambda i: (i, 0)),
+                       pl.BlockSpec((block_rows, z_dim), lambda i: (i, 0))),
+            out_shape=(jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+                       jax.ShapeDtypeStruct((n_pad, z_dim), jnp.float32)),
+            interpret=interpret,
+        )(jnp.asarray(seed, jnp.int32), z, x, y, v, *flat)
+        return neg_logp[:n, 0], grad[:n]
+
+    return fn
+
+
 def key_to_seed(key):
     """Fold a JAX PRNG key into the int32[2] seed the BNN kernel consumes."""
     data = jax.random.key_data(key) if jnp.issubdtype(

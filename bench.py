@@ -96,16 +96,9 @@ def main():
     data = tuple(jnp.asarray(a) for a in (x, y, v))
     from functools import partial
 
-    # Training-path measurement mirrors fit(): the non-BNN latent update runs
-    # as one fused Pallas kernel per batch on TPU.
-    from bayesgm_tpu.ops import pallas_kernels as pk
-
-    fused_vg = None
-    if pk.on_tpu():
-        fused_vg = pk.make_fused_causal_logp_and_grad(
-            model.cfg, pk.mlp_layer_dims(model.nets["g"]),
-            pk.mlp_layer_dims(model.nets["h"]), pk.mlp_layer_dims(model.nets["f"]),
-            block_rows=32)
+    # Training-path measurement mirrors fit(): the latent update runs as one
+    # fused Pallas kernel per batch on TPU.
+    fused_vg = model._build_fused_latent_vg(bs, None)
     epoch_fn = jax.jit(partial(model._train_epoch, model.cfg, fused_latent_vg=fused_vg))
     from bayesgm_tpu.ops import optim
 

@@ -67,10 +67,18 @@ def run_seed(seed, args):
     out["rmse"] = float(np.sqrt(np.mean((adrf - true) ** 2)))
     out["mape"] = float(np.mean(np.abs((adrf - true) / true)))
     out["predict_s"] = round(time.time() - t0, 1)
+    adrf_final = adrf
     if args.also_best and not args.identifiable:
         adrf_b, _ = model.predict((x, y, v), alpha=0.01, n_mcmc=3000, burn_in=5000,
                                   x_values=grid, q_sd=1.0, use_best_nets=True)
         out["rmse_best_nets"] = float(np.sqrt(np.mean((adrf_b - true) ** 2)))
+    if args.also_swa and not args.identifiable:
+        adrf_s, _ = model.predict((x, y, v), alpha=0.01, n_mcmc=3000, burn_in=5000,
+                                  x_values=grid, q_sd=1.0, use_swa_nets=True)
+        out["rmse_swa_nets"] = float(np.sqrt(np.mean((adrf_s - true) ** 2)))
+        # snapshot ensemble: average the final-nets and SWA-nets curves
+        adrf_e = 0.5 * (adrf_final + adrf_s)
+        out["rmse_ensemble"] = float(np.sqrt(np.mean((adrf_e - true) ** 2)))
     print(json.dumps(out), flush=True)
     return out
 
@@ -86,6 +94,8 @@ def main():
     p.add_argument("--identifiable", action="store_true")
     p.add_argument("--also_best", action="store_true",
                    help="also predict with the best-mse_y nets snapshot")
+    p.add_argument("--also_swa", action="store_true",
+                   help="also predict with the tail weight-averaged nets")
     p.add_argument("--kl_weight", type=float, default=1e-4)
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--lr_theta", type=float, default=1e-4)
@@ -108,6 +118,12 @@ def main():
     if all("rmse_best_nets" in r for r in results):
         summary["median_rmse_best_nets"] = float(
             np.median([r["rmse_best_nets"] for r in results]))
+    if all("rmse_swa_nets" in r for r in results):
+        summary["median_rmse_swa_nets"] = float(
+            np.median([r["rmse_swa_nets"] for r in results]))
+    if all("rmse_ensemble" in r for r in results):
+        summary["median_rmse_ensemble"] = float(
+            np.median([r["rmse_ensemble"] for r in results]))
     print("SUMMARY " + json.dumps(summary), flush=True)
 
 

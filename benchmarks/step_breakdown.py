@@ -79,10 +79,7 @@ def main():
     model = CausalBGM(params, random_seed=0)
     model.fit((x, y, v), epochs=0, epochs_per_eval=10**9, batch_size=bs,
               use_egm_init=False, verbose=0)
-    fused_vg = pk.make_fused_causal_logp_and_grad(
-        model.cfg, pk.mlp_layer_dims(model.nets["g"]),
-        pk.mlp_layer_dims(model.nets["h"]), pk.mlp_layer_dims(model.nets["f"]),
-        block_rows=32)
+    fused_vg = model._build_fused_latent_vg(bs, None)
     epoch_fn = jax.jit(partial(model._train_epoch, model.cfg, fused_latent_vg=fused_vg))
     n_batches = n // bs
     idx = jnp.asarray(np.random.RandomState(0).permutation(n)[: n_batches * bs]
@@ -93,12 +90,11 @@ def main():
     t_epoch = _time(lambda: epoch_fn(carry, idx, k, data)[1]["mse_y"], reps=3)
     t_batch = t_epoch / n_batches
 
-    gf = pk.flatten_mlp_params(model.nets["g"])
-    hf = pk.flatten_mlp_params(model.nets["h"])
-    ff = pk.flatten_mlp_params(model.nets["f"])
     bz = model.data_z[:bs]
     bx, by, bv = (a[:bs] for a in data)
-    t_kernel = _time(jax.jit(lambda: fused_vg(bz, bx, by, bv, gf, hf, ff)[0]), reps=50)
+    k = jax.random.PRNGKey(3)
+    t_kernel = _time(jax.jit(
+        lambda: fused_vg(bz, bx, by, bv, model.nets, k)[0]), reps=50)
     results.append(dict(
         workload="train_iterative_plain",
         us_per_batch=round(t_batch * 1e6, 1), us_per_kernel=round(t_kernel * 1e6, 1),
