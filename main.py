@@ -95,30 +95,57 @@ def run_causal(params, epochs, egm_iters):
 
 
 def run_bgm(params, epochs, egm_iters):
+    """BGM branches.  Sim_heteroskedastic mirrors the reference driver's
+    correlation eval (src/main.py:71-155): train on [X, Y], hold out a test
+    split, NaN the outcome column, and report Pearson correlations of the
+    posterior-mean and posterior-median predictions plus interval stats."""
     from bayesgm_tpu.datasets import simulate_low_rank_data, simulate_z_hetero
     from bayesgm_tpu.models.bgm import BGM
 
     if params["dataset"] == "Sim_low_rank":
         data, _ = simulate_low_rank_data(n_samples=10000, z_dim=params["z_dim"],
                                          x_dim=params["x_dim"])
+        X_test = Y_test = None
     else:
-        X, Y = simulate_z_hetero(n=20000, k=3, d=params["x_dim"] - 1)
-        data = np.hstack([Y.reshape(-1, 1), X]).astype("float32")
+        X, Y = simulate_z_hetero(n=20000, k=params.get("z_dim", 3), d=params["x_dim"] - 1)
+        n_test = len(X) // 10
+        X_train, X_test = X[:-n_test], X[-n_test:]
+        Y_train, Y_test = Y[:-n_test], Y[-n_test:]
+        data = np.hstack([X_train, Y_train.reshape(-1, 1)]).astype("float32")
 
     model = BGM(params=params, random_seed=123)
     model.fit(data=data, epochs=epochs, epochs_per_eval=10, use_egm_init=True,
               egm_n_iter=egm_iters, egm_batches_per_eval=500, verbose=1)
 
-    # Imputation eval: hide the first column of a held-out slice, recover it.
-    test = np.array(data[:1000])
-    truth = test[:, 0].copy()
-    test[:, 0] = np.nan
-    imputed, intervals = model.predict(test, alpha=0.05, n_mcmc=3000, burn_in=3000)
-    rmse = float(np.sqrt(np.mean((imputed[:, 0] - truth) ** 2)))
-    corr = float(np.corrcoef(imputed[:, 0], truth)[0, 1])
-    covered = np.mean((intervals[:, 0, 0] <= truth) & (truth <= intervals[:, 0, 1]))
-    print(f"Imputation RMSE: {rmse:.4f}  corr: {corr:.4f}  95%-interval coverage: {covered:.3f}")
-    return imputed, intervals
+    if X_test is None:
+        # low-rank branch: hide the first column of a held-out train slice
+        test = np.array(data[:1000])
+        truth = test[:, 0].copy()
+        test[:, 0] = np.nan
+        imputed, intervals = model.predict(test, alpha=0.05, n_mcmc=3000, burn_in=3000)
+        rmse = float(np.sqrt(np.mean((imputed[:, 0] - truth) ** 2)))
+        covered = np.mean((intervals[:, 0, 0] <= truth) & (truth <= intervals[:, 0, 1]))
+        print(f"Imputation RMSE: {rmse:.4f}  95%-interval coverage: {covered:.3f}")
+        return imputed, intervals
+
+    # p(Y | X) on the held-out split: NaN the last (outcome) column.
+    from scipy.stats import pearsonr
+
+    data_test = np.hstack([X_test, np.full((len(X_test), 1), np.nan)]).astype("float32")
+    cube, intervals = model.predict(data_test, alpha=0.05, bs=500, n_mcmc=5000,
+                                    burn_in=5000, return_samples=True)
+    y_draws = cube[:, :, -1]  # (n_mcmc, n_test)
+    y_mean, y_median = y_draws.mean(axis=0), np.median(y_draws, axis=0)
+    corr_mean = pearsonr(Y_test, y_mean)[0]
+    corr_median = pearsonr(Y_test, y_median)[0]
+    covered = np.mean((intervals[:, 0, 0] <= Y_test) & (Y_test <= intervals[:, 0, 1]))
+    length = float(np.mean(intervals[:, 0, 1] - intervals[:, 0, 0]))
+    print(f"Pearson corr (posterior mean): {corr_mean:.4f}")
+    print(f"Pearson corr (posterior median): {corr_median:.4f}")
+    print(f"95%-interval coverage: {covered:.3f}  mean length: {length:.3f}")
+    np.savez(f"{model.save_dir}/data_pred_heter.npz",
+             y_mean=y_mean, y_median=y_median, pred_interval=intervals)
+    return y_mean, intervals
 
 
 def run_mnist(params, epochs, egm_iters):
@@ -139,15 +166,34 @@ def run_mnist(params, epochs, egm_iters):
     model.fit(data=data, epochs=epochs, epochs_per_eval=10, use_egm_init=True,
               egm_n_iter=egm_iters, egm_batches_per_eval=500, verbose=1)
 
-    obs, miss = mnist_mask_indices(mode="lower_half")
-    test = np.array(data[:64]).reshape(64, -1)
-    truth = test[:, miss].copy()
-    test[:, miss] = np.nan
-    imputed, _ = model.predict(test.reshape(64, 28, 28, 1), alpha=0.05,
-                               n_mcmc=2000, burn_in=2000)
-    err = float(np.mean(np.abs(imputed.reshape(64, -1)[:, miss] - truth)))
-    print(f"Inpainting mean pixel error: {err:.4f}")
-    return imputed
+    # Multi-mask inpainting sweep (the reference driver's eval loops,
+    # src/main.py:157-255, covered the stripe/hole/half masks one at a time
+    # with hardcoded paths; here each mode runs on the fitted model).
+    modes = [
+        dict(mode="lower_half"),
+        dict(mode="upper_half"),
+        dict(mode="edge_stripe", orientation="horizontal", stripe_pos=14, stripe_width=5),
+        dict(mode="hole", center=(14, 14), hole_size=5),
+    ]
+    n_test = 64
+    results = {}
+    for mk in modes:
+        obs, miss = mnist_mask_indices(**mk)
+        test = np.array(data[:n_test]).reshape(n_test, -1)
+        truth = test[:, miss].copy()
+        test[:, miss] = np.nan
+        imputed, intervals = model.predict(test.reshape(n_test, 28, 28, 1),
+                                           alpha=0.05, bs=n_test,
+                                           n_mcmc=2000, burn_in=2000)
+        pred = imputed.reshape(n_test, -1)[:, miss]
+        err = float(np.mean(np.abs(pred - truth)))
+        acc = float(np.mean((pred > 0.5) == (truth > 0.5)))
+        results[mk["mode"]] = (err, acc)
+        print(f"Inpainting [{mk['mode']}]: mean pixel error {err:.4f}, "
+              f"binarized accuracy {acc:.3f}")
+        np.savez(f"{model.save_dir}/data_pred_mnist_{mk['mode']}.npz",
+                 imputed=imputed, pred_interval=np.asarray(intervals, dtype=object))
+    return results
 
 
 if __name__ == "__main__":
