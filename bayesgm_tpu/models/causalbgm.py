@@ -178,7 +178,8 @@ def _latent_loss(cfg, nets, z, x, y, v, key):
 # ---------------------------------------------------------------------------
 
 
-def _train_batch_step(cfg: CBGMConfig, carry, idx, key, data, fused_latent_vg=None):
+def _train_batch_step(cfg: CBGMConfig, carry, idx, key, data, fused_latent_vg=None,
+                      lr_scale=1.0):
     """One iterative-updating step: g/h/f Adam updates on the batch's current
     Z rows, then a row-sparse Adam step on the latent table
     (fit driver, base.py:493-505).
@@ -201,15 +202,15 @@ def _train_batch_step(cfg: CBGMConfig, carry, idx, key, data, fused_latent_vg=No
 
     (loss_v, mse_v), g_grads = jax.value_and_grad(
         lambda g: _loss_v(cfg, g, bz, bv, kg), has_aux=True)(nets["g"])
-    new_g, opt_g = optim.adam_update(g_grads, opts["g"], nets["g"], cfg.lr_theta)
+    new_g, opt_g = optim.adam_update(g_grads, opts["g"], nets["g"], cfg.lr_theta * lr_scale)
 
     (loss_x, mse_x), h_grads = jax.value_and_grad(
         lambda h: _loss_x(cfg, h, bz, bx, kh), has_aux=True)(nets["h"])
-    new_h, opt_h = optim.adam_update(h_grads, opts["h"], nets["h"], cfg.lr_theta)
+    new_h, opt_h = optim.adam_update(h_grads, opts["h"], nets["h"], cfg.lr_theta * lr_scale)
 
     (loss_y, mse_y), f_grads = jax.value_and_grad(
         lambda f: _loss_y(cfg, f, bz, bx, by, kf), has_aux=True)(nets["f"])
-    new_f, opt_f = optim.adam_update(f_grads, opts["f"], nets["f"], cfg.lr_theta)
+    new_f, opt_f = optim.adam_update(f_grads, opts["f"], nets["f"], cfg.lr_theta * lr_scale)
 
     nets = {**nets, "g": new_g, "h": new_h, "f": new_f}
     opts = {**opts, "g": opt_g, "h": opt_h, "f": opt_f}
@@ -221,7 +222,8 @@ def _train_batch_step(cfg: CBGMConfig, carry, idx, key, data, fused_latent_vg=No
     else:
         loss_post, z_grads = jax.value_and_grad(
             lambda zr: _latent_loss(cfg, nets, zr, bx, by, bv, kz))(bz)
-    z_table, z_opt = optim.table_adam_update_rows(z_grads, idx, z_opt, z_table, cfg.lr_z)
+    z_table, z_opt = optim.table_adam_update_rows(z_grads, idx, z_opt, z_table,
+                                                   cfg.lr_z * lr_scale)
 
     losses = dict(loss_v=loss_v, mse_v=mse_v, loss_x=loss_x, mse_x=mse_x,
                   loss_y=loss_y, mse_y=mse_y, loss_postrior_z=loss_post)
@@ -770,6 +772,21 @@ class CausalBGM:
         print("Iterative Updating Starts ...")
         from tqdm import tqdm
 
+        # Optional learning-rate schedule (params['lr_decay']: 'cosine' |
+        # 'linear' | None).  The reference trains at a constant rate; the
+        # constant-rate iterative dynamic keeps wandering near the optimum
+        # (seed-to-seed 'final vs best nets' variance, RESULTS.md), and a
+        # decay converges it.  The scale is a traced scalar — no recompiles.
+        decay = self.params.get("lr_decay")
+
+        def lr_scale_at(epoch):
+            frac = epoch / max(1, epochs)
+            if decay == "cosine":
+                return jnp.float32(0.5 * (1.0 + np.cos(np.pi * min(frac, 1.0))))
+            if decay == "linear":
+                return jnp.float32(max(1.0 - frac, 0.05))
+            return jnp.float32(1.0)
+
         carry = (self.nets, self.opts, self.data_z, z_opt)
         for epoch in tqdm(range(start_epoch, epochs + 1), desc="Epochs", unit="epoch",
                           disable=not verbose):
@@ -777,13 +794,14 @@ class CausalBGM:
             # model's key chain, so a resumed run replays the same stream.
             k_perm, k_epoch = self._next_key(2)
             perm = jax.random.permutation(k_perm, n)
+            scale = lr_scale_at(epoch)
             if n_full:  # n < batch_size -> remainder-only epoch
                 idx_full = perm[: n_full * batch_size].reshape(n_full, batch_size)
-                carry, losses = epoch_fn(carry, idx_full, k_epoch, data)
+                carry, losses = epoch_fn(carry, idx_full, k_epoch, data, scale)
             if remainder:
                 k_rem = self._next_key()
                 idx_rem = perm[n_full * batch_size :]
-                carry, losses = rem_fn(carry, idx_rem, k_rem, data)
+                carry, losses = rem_fn(carry, idx_rem, k_rem, data, lr_scale=scale)
 
             if epoch % epochs_per_eval == 0:
                 self.nets, self.opts, self.data_z, z_opt = carry
@@ -873,10 +891,11 @@ class CausalBGM:
             return None
 
     @staticmethod
-    def _train_epoch(cfg, carry, idx_matrix, key, data, fused_latent_vg=None):
+    def _train_epoch(cfg, carry, idx_matrix, key, data, lr_scale=1.0,
+                     fused_latent_vg=None):
         keys = jax.random.split(key, idx_matrix.shape[0])
         step = partial(_train_batch_step, cfg, data=data,
-                       fused_latent_vg=fused_latent_vg)
+                       fused_latent_vg=fused_latent_vg, lr_scale=lr_scale)
         carry, losses = jax.lax.scan(lambda c, xs: step(c, xs[0], xs[1]), carry,
                                      (idx_matrix, keys))
         return carry, {k: val[-1] for k, val in losses.items()}

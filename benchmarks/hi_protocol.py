@@ -36,7 +36,7 @@ def run_seed(seed, args):
         dataset="HI_protocol", output_dir=args.output_dir,
         use_bnn=not args.no_bnn, save_res=False, save_model=False,
         kl_weight=args.kl_weight, lr=args.lr, lr_theta=args.lr_theta,
-        lr_z=args.lr_z, use_z_rec=args.use_z_rec,
+        lr_z=args.lr_z, use_z_rec=args.use_z_rec, lr_decay=args.lr_decay,
         g_units=args.g_units, e_units=args.e_units,
         f_units=args.f_units, h_units=args.h_units)
     if args.sigma_y is not None:
@@ -101,6 +101,8 @@ def main():
     p.add_argument("--lr_theta", type=float, default=1e-4)
     p.add_argument("--lr_z", type=float, default=1e-4)
     p.add_argument("--use_z_rec", type=float, default=1.0)
+    p.add_argument("--lr_decay", type=str, default=None,
+                   choices=[None, "cosine", "linear"])
     p.add_argument("--sigma_v", type=float, default=None)
     p.add_argument("--sigma_x", type=float, default=None)
     p.add_argument("--sigma_y", type=float, default=None)
