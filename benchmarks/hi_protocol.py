@@ -79,6 +79,14 @@ def run_seed(seed, args):
         # snapshot ensemble: average the final-nets and SWA-nets curves
         adrf_e = 0.5 * (adrf_final + adrf_s)
         out["rmse_ensemble"] = float(np.sqrt(np.mean((adrf_e - true) ** 2)))
+    if args.dump_curves:
+        import os
+
+        os.makedirs(args.dump_curves, exist_ok=True)
+        bundle = dict(grid=grid, true=true, adrf=adrf_final)
+        if "rmse_swa_nets" in out:
+            bundle["adrf_swa"] = adrf_s
+        np.savez(f"{args.dump_curves}/curves_seed{seed}.npz", **bundle)
     print(json.dumps(out), flush=True)
     return out
 
@@ -111,6 +119,8 @@ def main():
     p.add_argument("--f_units", type=int, nargs="+", default=[64, 32, 8])
     p.add_argument("--h_units", type=int, nargs="+", default=[64, 32, 8])
     p.add_argument("--output_dir", type=str, default="/tmp/hi_protocol")
+    p.add_argument("--dump_curves", type=str, default=None,
+                   help="directory to save per-seed ADRF curves for bias analysis")
     args = p.parse_args()
 
     results = [run_seed(s, args) for s in args.seeds]
