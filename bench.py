@@ -29,9 +29,15 @@ BASELINE_BATCHES_PER_SEC = 55.0
 BASELINE_LOGP_EVALS_PER_SEC = 2 * 20000 * 0.98
 
 
-def bench_predict(model, data, n_steps=2000):
-    """Adaptive-MH throughput on the full-data posterior (default BNN config:
-    two stochastic log-posterior evals per step, n=20000 parallel chains)."""
+def bench_predict(model, data, n_long=4000, n_short=500):
+    """Adaptive-MH steady-state throughput on the full-data posterior
+    (default BNN config: two stochastic log-posterior evals per step,
+    n=20000 parallel chains).
+
+    Measured as the MARGINAL cost (t(n_long) - t(n_short)) / (n_long -
+    n_short): every adaptive_mh call pays a fixed ~10 s re-trace +
+    program-load cost that the difference cancels, leaving the per-step
+    chain cost a long predict actually pays."""
     import jax
     import jax.numpy as jnp
 
@@ -44,16 +50,18 @@ def bench_predict(model, data, n_steps=2000):
 
     key = jax.random.PRNGKey(0)
     init = jax.random.normal(key, (n, sum(model.cfg.z_dims)))
-    # Warmup compiles the chunked chain programs.
-    res = mcmc.adaptive_mh(log_prob, init, key, burn_in=mcmc.CHUNK, n_keep=0,
-                           q_sd=1.0, recompute_current=model.cfg.use_bnn)
-    jax.block_until_ready(res.q_sd)
-    t0 = time.perf_counter()
-    res = mcmc.adaptive_mh(log_prob, init, key, burn_in=n_steps, n_keep=0,
-                           q_sd=1.0, recompute_current=model.cfg.use_bnn)
-    jax.block_until_ready(res.q_sd)
-    elapsed = time.perf_counter() - t0
-    steps_per_sec = n_steps / elapsed
+
+    def run(steps):
+        t0 = time.perf_counter()
+        res = mcmc.adaptive_mh(log_prob, init, key, burn_in=steps, n_keep=0,
+                               q_sd=1.0, recompute_current=model.cfg.use_bnn)
+        jax.block_until_ready(res.q_sd)
+        return time.perf_counter() - t0
+
+    run(mcmc.CHUNK)  # compile warmup
+    t_short = run(n_short)
+    t_long = run(n_long)
+    steps_per_sec = (n_long - n_short) / max(t_long - t_short, 1e-9)
     evals_per_sec = steps_per_sec * n * evals_per_step
     print(json.dumps({
         "metric": "causalbgm_posterior_logp_evals_per_sec",

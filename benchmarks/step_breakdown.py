@@ -44,6 +44,30 @@ def main():
     x, y, v = Sim_Hirano_Imbens_sampler(batch_size=bs, N=n, v_dim=v_dim, seed=0).load_all()
     data = tuple(jnp.asarray(a) for a in (x, y, v))
 
+    def marginal_mh(log_prob, init, key, recompute):
+        """Steady-state s/step via the marginal method (cancels the fixed
+        per-call re-trace + program-load cost)."""
+        def run(steps):
+            t0 = time.perf_counter()
+            res = mcmc.adaptive_mh(log_prob, init, key, burn_in=steps, n_keep=0,
+                                   q_sd=1.0, recompute_current=recompute)
+            jax.block_until_ready(res.q_sd)
+            return time.perf_counter() - t0
+
+        run(mcmc.CHUNK)
+        t_short = run(500)
+        t_long = run(3000)
+        return (t_long - t_short) / 2500
+
+    init = jax.random.normal(jax.random.PRNGKey(0), (n, 10))
+    key = jax.random.PRNGKey(1)
+
+    # scan overhead alone: the same chain with a trivial target
+    def cheap_logp(z, k):
+        return -jnp.sum(z * z, axis=1) / 2.0
+
+    t_overhead = marginal_mh(cheap_logp, init, key, recompute=True)
+
     results = []
     for use_bnn in (True, False):
         params = dict(v_dim=v_dim, z_dims=[1, 1, 1, 7], binary_treatment=False,
@@ -51,54 +75,39 @@ def main():
                       use_bnn=use_bnn, save_res=False, save_model=False)
         model = CausalBGM(params, random_seed=0)
         log_prob = model._make_log_prob(*data)
-        init = jax.random.normal(jax.random.PRNGKey(0), (n, 10))
-        key = jax.random.PRNGKey(1)
-
-        # one full chunk of the actual MH chain program
-        def chunk():
-            res = mcmc.adaptive_mh(log_prob, init, key, burn_in=mcmc.CHUNK,
-                                   n_keep=0, q_sd=1.0, recompute_current=use_bnn)
-            return res.q_sd
-
-        t_chunk = _time(chunk, reps=3) / mcmc.CHUNK  # s per MH step
-
-        # standalone fused kernel eval
-        lp = jax.jit(lambda z, k: log_prob(z, k))
-        t_eval = _time(lp, init, key, reps=50)
-        evals = 2 if use_bnn else 1
-        frac = evals * t_eval / t_chunk
+        t_step = marginal_mh(log_prob, init, key, recompute=use_bnn)
+        frac = max(0.0, t_step - t_overhead) / t_step
         results.append(dict(
             workload=f"predict_mh_{'bnn' if use_bnn else 'plain'}",
-            ms_per_step=round(t_chunk * 1e3, 3), ms_per_kernel_eval=round(t_eval * 1e3, 3),
-            evals_per_step=evals, pallas_fraction=round(min(frac, 1.0), 3)))
+            ms_per_step=round(t_step * 1e3, 3),
+            ms_scan_overhead=round(t_overhead * 1e3, 3),
+            evals_per_step=2 if use_bnn else 1,
+            pallas_fraction=round(min(frac, 1.0), 3)))
 
-    # training epoch (non-BNN, fused latent update as fit() configures it)
+    # training epoch (non-BNN): compare the in-scan fused latent update
+    # against the in-scan XLA latent update.
     params = dict(v_dim=v_dim, z_dims=[1, 1, 1, 7], binary_treatment=False,
                   dataset="breakdown", output_dir="/tmp/breakdown",
                   use_bnn=False, save_res=False, save_model=False)
     model = CausalBGM(params, random_seed=0)
     model.fit((x, y, v), epochs=0, epochs_per_eval=10**9, batch_size=bs,
               use_egm_init=False, verbose=0)
-    fused_vg = model._build_fused_latent_vg(bs, None)
-    epoch_fn = jax.jit(partial(model._train_epoch, model.cfg, fused_latent_vg=fused_vg))
     n_batches = n // bs
     idx = jnp.asarray(np.random.RandomState(0).permutation(n)[: n_batches * bs]
                       .reshape(n_batches, bs))
     carry = (model.nets, model.opts, model.data_z, optim.table_adam_init(model.data_z))
     k = jax.random.PRNGKey(2)
 
-    t_epoch = _time(lambda: epoch_fn(carry, idx, k, data)[1]["mse_y"], reps=3)
-    t_batch = t_epoch / n_batches
-
-    bz = model.data_z[:bs]
-    bx, by, bv = (a[:bs] for a in data)
-    k = jax.random.PRNGKey(3)
-    t_kernel = _time(jax.jit(
-        lambda: fused_vg(bz, bx, by, bv, model.nets, k)[0]), reps=50)
+    timings = {}
+    for label, vg in (("fused", model._build_fused_latent_vg(bs, None)), ("xla", None)):
+        epoch_fn = jax.jit(partial(model._train_epoch, model.cfg, fused_latent_vg=vg))
+        t_epoch = _time(lambda: epoch_fn(carry, idx, k, data)[1]["mse_y"], reps=5)
+        timings[label] = t_epoch / n_batches
     results.append(dict(
         workload="train_iterative_plain",
-        us_per_batch=round(t_batch * 1e6, 1), us_per_kernel=round(t_kernel * 1e6, 1),
-        pallas_fraction=round(min(t_kernel / t_batch, 1.0), 3)))
+        us_per_batch_fused_latent=round(timings["fused"] * 1e6, 1),
+        us_per_batch_xla_latent=round(timings["xla"] * 1e6, 1),
+        fused_latent_speedup=round(timings["xla"] / timings["fused"], 3)))
 
     for r in results:
         print(json.dumps(r))
