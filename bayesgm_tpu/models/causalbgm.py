@@ -777,6 +777,8 @@ class CausalBGM:
         # constant-rate iterative dynamic keeps wandering near the optimum
         # (seed-to-seed 'final vs best nets' variance, RESULTS.md), and a
         # decay converges it.  The scale is a traced scalar — no recompiles.
+        # The schedule is defined over THIS call's epoch horizon: resume a
+        # killed run with the same `epochs` to replay the same schedule.
         decay = self.params.get("lr_decay")
 
         def lr_scale_at(epoch):

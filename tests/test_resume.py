@@ -88,6 +88,45 @@ def test_fullmcmc_resume_exact(tmp_path):
     _run_causal_family(FullMCMCCausalBGM, tmp_path, _causal_data())
 
 
+def test_causalbgm_resume_with_lr_decay_and_swa(tmp_path, monkeypatch):
+    """The lr schedule is defined over the fit call's epoch horizon, so an
+    interruption must be a mid-run kill (not a shorter fit).  A resumed
+    decayed run replays the uninterrupted trajectory exactly, including the
+    SWA accumulator."""
+    import pytest as _pytest
+
+    data = _causal_data()
+    kw = dict(batch_size=16, epochs_per_eval=1, use_egm_init=False, verbose=0)
+
+    pa = _causal_params(tmp_path / "a", lr_decay="cosine")
+    ma = CausalBGM(pa, timestamp="ts", random_seed=7)
+    ma.fit(data, epochs=4, **kw)
+
+    pb = _causal_params(tmp_path / "b", lr_decay="cosine")
+    mb1 = CausalBGM(pb, timestamp="ts", random_seed=7)
+    calls = {"n": 0}
+    orig = CausalBGM.evaluate
+
+    def dying_evaluate(self, *a, **k):
+        calls["n"] += 1
+        if calls["n"] > 3:  # epochs 0..2 evaluated + checkpointed, die at 3
+            raise RuntimeError("simulated kill")
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(CausalBGM, "evaluate", dying_evaluate)
+    with _pytest.raises(RuntimeError, match="simulated kill"):
+        mb1.fit(data, epochs=4, **kw)
+    monkeypatch.undo()
+
+    mb2 = CausalBGM(pb, timestamp="ts", random_seed=7)
+    mb2.fit(data, epochs=4, **kw)  # resumes at epoch 3
+
+    _assert_trees_equal(ma.nets, mb2.nets)
+    np.testing.assert_array_equal(np.asarray(ma.data_z), np.asarray(mb2.data_z))
+    assert ma._swa_count == mb2._swa_count > 0
+    _assert_trees_equal(ma.swa_nets, mb2.swa_nets)
+
+
 def test_causalbgm_binary_resume_and_reload(tmp_path):
     """Binary-treatment template (best_causal_pre has (n, 1) shape)."""
     data = _causal_data(binary=True)
