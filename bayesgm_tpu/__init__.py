@@ -19,6 +19,7 @@ _SYMBOL_TO_MODULE = {
     "CausalBGM": "bayesgm_tpu.models.causalbgm",
     "IdentifiableCausalBGM": "bayesgm_tpu.models.identifiable",
     "FullMCMCCausalBGM": "bayesgm_tpu.models.fullmcmc",
+    "EnsembleCausalBGM": "bayesgm_tpu.models.ensemble",
     # datasets
     "Base_sampler": "bayesgm_tpu.datasets.base_sampler",
     "Semi_acic_sampler": "bayesgm_tpu.datasets.causal_samplers",

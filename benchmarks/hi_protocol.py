@@ -26,6 +26,7 @@ import numpy as np
 def run_seed(seed, args):
     from bayesgm_tpu.datasets import Sim_Hirano_Imbens_sampler
     from bayesgm_tpu.models.causalbgm import CausalBGM
+    from bayesgm_tpu.models.ensemble import EnsembleCausalBGM
     from bayesgm_tpu.models.identifiable import IdentifiableCausalBGM
     from bayesgm_tpu.utils import get_ADRF
 
@@ -46,7 +47,13 @@ def run_seed(seed, args):
     if args.sigma_v is not None:
         params["sigma_v"] = args.sigma_v
 
-    cls = IdentifiableCausalBGM if args.identifiable else CausalBGM
+    if args.ensemble:
+        params["n_members"] = args.ensemble
+        cls = EnsembleCausalBGM
+    elif args.identifiable:
+        cls = IdentifiableCausalBGM
+    else:
+        cls = CausalBGM
     model = cls(params, random_seed=seed)
 
     t0 = time.time()
@@ -59,20 +66,21 @@ def run_seed(seed, args):
     grid = np.linspace(0, 3, 20)
     true = get_ADRF(x_values=grid, dataset="Imbens")
 
-    out = dict(seed=seed, best_epoch=model.best_epoch, fit_s=round(t_fit, 1))
+    out = dict(seed=seed, best_epoch=getattr(model, "best_epoch", None),
+               fit_s=round(t_fit, 1))
     t0 = time.time()
-    kw = {} if args.identifiable else dict(use_best_nets=False)
+    kw = {} if (args.identifiable or args.ensemble) else dict(use_best_nets=False)
     adrf, _ = model.predict((x, y, v), alpha=0.01, n_mcmc=3000, burn_in=5000,
                             x_values=grid, q_sd=1.0, **kw)
     out["rmse"] = float(np.sqrt(np.mean((adrf - true) ** 2)))
     out["mape"] = float(np.mean(np.abs((adrf - true) / true)))
     out["predict_s"] = round(time.time() - t0, 1)
     adrf_final = adrf
-    if args.also_best and not args.identifiable:
+    if args.also_best and not (args.identifiable or args.ensemble):
         adrf_b, _ = model.predict((x, y, v), alpha=0.01, n_mcmc=3000, burn_in=5000,
                                   x_values=grid, q_sd=1.0, use_best_nets=True)
         out["rmse_best_nets"] = float(np.sqrt(np.mean((adrf_b - true) ** 2)))
-    if args.also_swa and not args.identifiable:
+    if args.also_swa and not (args.identifiable or args.ensemble):
         adrf_s, _ = model.predict((x, y, v), alpha=0.01, n_mcmc=3000, burn_in=5000,
                                   x_values=grid, q_sd=1.0, use_swa_nets=True)
         out["rmse_swa_nets"] = float(np.sqrt(np.mean((adrf_s - true) ** 2)))
@@ -100,6 +108,8 @@ def main():
     p.add_argument("--no_egm", action="store_true")
     p.add_argument("--no_bnn", action="store_true")
     p.add_argument("--identifiable", action="store_true")
+    p.add_argument("--ensemble", type=int, default=0,
+                   help="train a K-member EnsembleCausalBGM instead")
     p.add_argument("--also_best", action="store_true",
                    help="also predict with the best-mse_y nets snapshot")
     p.add_argument("--also_swa", action="store_true",

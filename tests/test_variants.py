@@ -165,3 +165,34 @@ def test_dryrun_multichip_8():
     fn, args = mod.entry()
     out = jax.jit(fn)(*args)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_ensemble_causalbgm_lifecycle(tmp_path):
+    """EnsembleCausalBGM: K independent members, averaged effects."""
+    import numpy as np
+
+    from bayesgm_tpu import EnsembleCausalBGM
+
+    rng = np.random.RandomState(0)
+    n, v_dim = 64, 4
+    v = rng.randn(n, v_dim).astype("float32")
+    x = rng.rand(n, 1).astype("float32")
+    y = (x + v[:, :1]).astype("float32")
+    p = dict(v_dim=v_dim, z_dims=[1, 1, 1, 2], binary_treatment=False,
+             dataset="ens", output_dir=str(tmp_path), use_bnn=False,
+             n_members=2, g_units=[8], e_units=[8], f_units=[8], h_units=[8],
+             dz_units=[8], save_res=False, save_model=False)
+    m = EnsembleCausalBGM(p, random_seed=5)
+    assert len(m.members) == 2
+    # distinct initializations
+    a = m.members[0].nets["g"]["layers"][0]["w"]
+    b = m.members[1].nets["g"]["layers"][0]["w"]
+    assert float(np.max(np.abs(np.asarray(a) - np.asarray(b)))) > 1e-4
+    m.fit((x, y, v), epochs=2, epochs_per_eval=2, batch_size=16,
+          use_egm_init=False, verbose=0)
+    adrf, ci = m.predict((x, y, v), alpha=0.2, n_mcmc=10, burn_in=20,
+                         x_values=[0.5, 1.0])
+    assert adrf.shape == (2,) and ci.shape == (2, 2)
+    assert np.all(np.isfinite(adrf)) and np.all(ci[:, 0] <= ci[:, 1])
+    causal, mse_x, mse_y, mse_v = m.evaluate((x, y, v))
+    assert causal.shape == (200,) and np.isfinite(mse_y)
