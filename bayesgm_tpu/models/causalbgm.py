@@ -398,6 +398,17 @@ def _effect_collector(cfg: CBGMConfig, nets, x_values, sample_y: bool):
     return collect
 
 
+def _effect_collector_p(cfg: CBGMConfig, x_values, sample_y: bool):
+    """Params-mode effect collector: nets flow in via ``params["nets"]`` so
+    the jitted chain program can be reused across predict calls (weights are
+    arguments, not trace constants)."""
+
+    def collect_p(params, z, key):
+        return _effect_collector(cfg, params["nets"], x_values, sample_y)(z, key)
+
+    return collect_p
+
+
 # ---------------------------------------------------------------------------
 # Model class
 # ---------------------------------------------------------------------------
@@ -1044,6 +1055,107 @@ class CausalBGM:
                 f"({type(e).__name__}: {e}); using the XLA composite.")
             return xla_log_prob
 
+    def _make_param_log_prob(self):
+        """Params-mode MH target for ``ops.mcmc.adaptive_mh(params=...)``.
+
+        Returns ``(lp, plp, make_params)``:
+
+        - ``lp(params, z, key) -> (n,)`` — the log-posterior with all weights
+          and conditioning data passed through ``params`` (a jit argument),
+          so repeated chains reuse ONE compiled program instead of paying the
+          ~10 s retrace per ``predict`` (closure arrays bake into the trace).
+        - ``plp(params, z_prop, z_cur, k1, k2)`` or None — single-launch
+          paired evaluation for ``recompute_current`` steps: both states are
+          stacked into a 2n-row fused-kernel call.  The in-kernel PRNG is
+          seeded per row block (pallas_kernels.py: ``program_id`` mixed into
+          the seed), so the proposed and current halves draw distinct weight
+          perturbations exactly as two separate fresh-noise evaluations do —
+          matching the reference's two ``get_log_posterior`` calls per step
+          (causalbgm/base.py:865-866) at block granularity.
+        - ``make_params(nets, data, paired) -> dict`` — builds the params
+          pytree (flattened kernel weights, raw nets for the collector, data,
+          and the pre-stacked 2n-row data when ``paired``).
+
+        Fused TPU path for the default BNN config; XLA composite elsewhere
+        (``plp=None`` — pairing only pays when launches are discrete kernels).
+        """
+        cfg = self.cfg
+        from bayesgm_tpu.ops import pallas_kernels as pk
+
+        def make_params(nets, data, paired):
+            x, y, v = (jnp.asarray(a, jnp.float32) for a in data)
+            p = {"nets": nets, "data": (x, y, v)}
+            if pk.on_tpu():
+                flatten = (pk.flatten_flipout_params if cfg.use_bnn
+                           else pk.flatten_mlp_params)
+                p["flat"] = (flatten(nets["g"]), flatten(nets["h"]),
+                             flatten(nets["f"]))
+            if paired:
+                p["data2"] = tuple(jnp.concatenate([a, a], axis=0)
+                                   for a in (x, y, v))
+            return p
+
+        if cfg.use_bnn and pk.on_tpu():
+            try:
+                dims = (pk.flipout_mlp_layer_dims(self.nets["g"]),
+                        pk.flipout_mlp_layer_dims(self.nets["h"]),
+                        pk.flipout_mlp_layer_dims(self.nets["f"]))
+                fused = self._jit_cache(
+                    ("fused_bnn_logp", tuple(map(tuple, dims))),
+                    lambda: pk.make_fused_causal_logp_bnn(cfg, *dims))
+
+                def lp(params, z, key):
+                    gf, hf, ff = params["flat"]
+                    x, y, v = params["data"]
+                    return -fused(z, x, y, v, pk.key_to_seed(key), gf, hf, ff)
+
+                def plp(params, z_prop, z_cur, k1, k2):
+                    gf, hf, ff = params["flat"]
+                    x2, y2, v2 = params["data2"]
+                    zz = jnp.concatenate([z_prop, z_cur], axis=0)
+                    neg = fused(zz, x2, y2, v2, pk.key_to_seed(k1), gf, hf, ff)
+                    n = z_prop.shape[0]
+                    return -neg[:n], -neg[n:]
+
+                return lp, plp, make_params
+            except Exception as e:  # pragma: no cover - pallas unavailable
+                import warnings
+
+                warnings.warn(
+                    f"Fused BNN Pallas log-posterior unavailable "
+                    f"({type(e).__name__}: {e}); using the XLA composite.")
+
+        elif pk.on_tpu():
+            # Non-Bayesian nets: deterministic fused kernel (no key use), one
+            # launch per evaluation; pairing is moot since recompute_current
+            # is off for deterministic targets.
+            try:
+                dims = (pk.mlp_layer_dims(self.nets["g"]),
+                        pk.mlp_layer_dims(self.nets["h"]),
+                        pk.mlp_layer_dims(self.nets["f"]))
+                fused = self._jit_cache(
+                    ("fused_logp", tuple(map(tuple, dims))),
+                    lambda: pk.make_fused_causal_logp(cfg, *dims))
+
+                def lp(params, z, key):
+                    gf, hf, ff = params["flat"]
+                    x, y, v = params["data"]
+                    return -fused(z, x, y, v, gf, hf, ff)
+
+                return lp, None, make_params
+            except Exception as e:  # pragma: no cover - pallas unavailable
+                import warnings
+
+                warnings.warn(
+                    f"Fused Pallas log-posterior unavailable "
+                    f"({type(e).__name__}: {e}); using the XLA composite.")
+
+        def lp(params, z, key):
+            x, y, v = params["data"]
+            return -_neg_log_posterior_rows(cfg, params["nets"], z, x, y, v, key)
+
+        return lp, None, make_params
+
     def metropolis_hastings_sampler(self, data, initial_q_sd=1.0, q_sd=None, burn_in=5000,
                                     n_keep=3000, target_acceptance_rate=0.25, tolerance=0.05,
                                     adjustment_interval=50, adaptive_sd=None, window_size=100):
@@ -1137,12 +1249,24 @@ class CausalBGM:
         q0 = 1.0 if adaptive else float(q_sd)
 
         print("MCMC Latent Variable Sampling ...")
-        collect = _effect_collector(cfg, nets, x_values, sample_y)
 
         if mesh is not None:
             from bayesgm_tpu.parallel import replicate
 
             nets = replicate(nets, mesh)
+
+        if sampler == "mh":
+            # Params-mode target: weights/data are jit ARGUMENTS, so every
+            # predict (and every same-shape batch) reuses one compiled chain
+            # program — no per-call retrace; BNN steps evaluate proposed +
+            # current in ONE stacked fused-kernel launch (plp).
+            lp, plp, make_params = self._make_param_log_prob()
+            collect_p = _effect_collector_p(cfg, x_values, sample_y)
+            xv_key = None if x_values is None else tuple(np.asarray(x_values).tolist())
+            jit_cache = self._jit_cache(
+                ("mh_chain_jit", xv_key, bool(sample_y)), dict)
+        else:
+            collect = _effect_collector(cfg, nets, x_values, sample_y)
 
         def run_batch(bx, by, bv):
             bx, by, bv = jnp.asarray(bx), jnp.asarray(by), jnp.asarray(bv)
@@ -1151,20 +1275,22 @@ class CausalBGM:
                 from bayesgm_tpu.parallel import shard_rows
 
                 bx, by, bv, init = (shard_rows(a, mesh) for a in (bx, by, bv, init))
-            log_prob = self._make_log_prob(bx, by, bv,
-                                           differentiable=(sampler == "mala"),
-                                           nets=nets)
             if sampler == "mala":
                 # Gradient-informed Langevin proposals (beyond-reference):
                 # adapts toward the MALA-optimal ~0.574 acceptance.
+                log_prob = self._make_log_prob(bx, by, bv, differentiable=True,
+                                               nets=nets)
                 res = mcmc.adaptive_mala(
                     log_prob, init, self._next_key(), burn_in=burn_in,
                     n_keep=n_mcmc, step_size=0.1, collect=collect)
             else:
+                paired = cfg.use_bnn and plp is not None
+                params = make_params(nets, (bx, by, bv), paired)
                 res = mcmc.adaptive_mh(
-                    log_prob, init, self._next_key(), burn_in=burn_in, n_keep=n_mcmc,
+                    lp, init, self._next_key(), burn_in=burn_in, n_keep=n_mcmc,
                     q_sd=q0, adaptive=adaptive, recompute_current=cfg.use_bnn,
-                    collect=collect)
+                    collect=collect_p, paired_log_prob_fn=plp if paired else None,
+                    params=params, jit_cache=jit_cache)
             print(f"Final MCMC Acceptance Rate: {float(res.accept_rate):.4f}")
             return np.asarray(res.samples)
 

@@ -51,7 +51,7 @@ class MHResult(NamedTuple):
 
 def _mh_step(carry, key, log_prob_fn, q_sd_is_adaptive, burn_in,
              target_rate, tolerance, adjustment_interval, window_size,
-             recompute_current, shared_eval_key):
+             recompute_current, shared_eval_key, paired_log_prob_fn=None):
     state, logp, q_sd, window, t = carry
     k_prop, k_unif, k_lp1, k_lp2 = jax.random.split(key, 4)
     if shared_eval_key:
@@ -62,12 +62,19 @@ def _mh_step(carry, key, log_prob_fn, q_sd_is_adaptive, burn_in,
         k_lp2 = k_lp1
 
     proposed = state + q_sd * jax.random.normal(k_prop, state.shape, state.dtype)
-    logp_prop = log_prob_fn(proposed, k_lp1)
-    if recompute_current:
-        # Stochastic targets (flipout BNNs) re-evaluate the current state with
-        # fresh weight noise each step, exactly as the reference does by
-        # calling get_log_posterior twice (causalbgm/base.py:865-866).
-        logp = log_prob_fn(state, k_lp2)
+    if recompute_current and paired_log_prob_fn is not None:
+        # Single-launch paired evaluation: proposed and current states are
+        # stacked into one 2n-row kernel call (stochastic targets draw
+        # independent noise per row block, so the halves still get distinct
+        # weight perturbations — see CausalBGM._make_param_log_prob).
+        logp_prop, logp = paired_log_prob_fn(proposed, state, k_lp1, k_lp2)
+    else:
+        logp_prop = log_prob_fn(proposed, k_lp1)
+        if recompute_current:
+            # Stochastic targets (flipout BNNs) re-evaluate the current state
+            # with fresh weight noise each step, exactly as the reference does
+            # by calling get_log_posterior twice (causalbgm/base.py:865-866).
+            logp = log_prob_fn(state, k_lp2)
 
     log_ratio = jnp.minimum(logp_prop - logp, 0.0)
     accept = jax.random.uniform(k_unif, logp.shape) < jnp.exp(log_ratio)
@@ -97,13 +104,16 @@ def adaptive_mh(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000,
                 target_rate: float = 0.25, tolerance: float = 0.05,
                 adjustment_interval: int = 50, window_size: int = 100,
                 recompute_current: bool = False, shared_eval_key: bool = False,
-                collect: Optional[Callable] = None) -> MHResult:
+                collect: Optional[Callable] = None,
+                paired_log_prob_fn: Optional[Callable] = None,
+                params=None, jit_cache: Optional[dict] = None) -> MHResult:
     """Vectorized adaptive random-walk Metropolis–Hastings.
 
     Parameters
     ----------
     log_prob_fn : callable ``(state, key) -> (n,)``
-        Batched log target over ``n`` independent chains.
+        Batched log target over ``n`` independent chains.  With ``params``
+        given, the signature is ``(params, state, key)`` instead (see below).
     init_state : (n, d) array
         Initial chain states.
     shared_eval_key : bool
@@ -113,40 +123,95 @@ def adaptive_mh(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000,
         of the accept ratio.
     collect : callable ``(state, key) -> pytree`` or None
         Per-kept-step statistic; defaults to the raw state.  Using a small
-        statistic keeps HBM usage at ``n_keep × |stat|``.
+        statistic keeps HBM usage at ``n_keep × |stat|``.  With ``params``
+        given, the signature is ``(params, state, key)``.
+    paired_log_prob_fn : callable or None
+        Optional ``(proposed, current, k1, k2) -> (logp_prop, logp_cur)``
+        (``(params, proposed, current, k1, k2) -> ...`` in params mode) that
+        evaluates BOTH states of a ``recompute_current`` step in one launch —
+        on TPU this stacks the two states into a single 2n-row fused-kernel
+        call, halving kernel launches on the default BNN predict path.
+    params : pytree or None
+        Explicit-parameters mode: all arrays the target/collector close over
+        (network weights, conditioning data) are passed through the jitted
+        chain programs as arguments instead of being baked into the trace as
+        closure constants.  Required for ``jit_cache`` to be sound.
+    jit_cache : dict or None
+        Cross-call compiled-program cache.  Repeated chains with the same
+        shapes/statics (e.g. every ``predict`` on a model) then skip the
+        ~10 s per-call retrace entirely.  The dict MUST be dedicated to one
+        fixed (log_prob_fn, paired_log_prob_fn, collect) semantic triple —
+        entries are additionally keyed on shapes, dtypes, and the adaptation
+        statics, but function *values* are the caller's contract.
 
     Returns
     -------
     MHResult with ``samples`` stacked along the leading (n_keep) axis.
     """
-    k_init, key = jax.random.split(key)
-    logp0 = log_prob_fn(init_state, k_init)
+    if params is None:
+        _lp_outer, _plp_outer, _col_outer = log_prob_fn, paired_log_prob_fn, collect
+        lp = lambda p, s, k: _lp_outer(s, k)
+        plp = None if _plp_outer is None else (
+            lambda p, a, b, k1, k2: _plp_outer(a, b, k1, k2))
+        col = None if _col_outer is None else (lambda p, s, k: _col_outer(s, k))
+        params = ()
+    else:
+        lp, plp, col = log_prob_fn, paired_log_prob_fn, collect
+    collect_fn = (lambda p, s, k: s) if col is None else col
 
-    step = partial(
-        _mh_step, log_prob_fn=log_prob_fn, q_sd_is_adaptive=jnp.asarray(adaptive),
-        burn_in=burn_in, target_rate=target_rate, tolerance=tolerance,
+    k_init, key = jax.random.split(key)
+    logp0 = lp(params, init_state, k_init)
+
+    statics = dict(
+        q_sd_is_adaptive=bool(adaptive), burn_in=burn_in,
+        target_rate=target_rate, tolerance=tolerance,
         adjustment_interval=adjustment_interval, window_size=window_size,
         recompute_current=recompute_current, shared_eval_key=shared_eval_key)
 
-    @partial(jax.jit, static_argnames=("n_steps",))
-    def burn_chunk(carry, chunk_key, n_steps):
-        keys = jax.random.split(chunk_key, n_steps)
-        carry, rates = jax.lax.scan(lambda c, k: step(c, k), carry, keys)
-        return carry, rates[-1]
+    if jit_cache is None:
+        jit_cache = {}  # per-call: chunks of equal n_steps still share one program
+    cache_tag = (
+        tuple(sorted(statics.items())), plp is not None, col is not None,
+        init_state.shape, str(init_state.dtype),
+        jax.tree.structure(params),
+        tuple((l.shape, str(l.dtype)) for l in jax.tree.leaves(params)))
 
-    collect_fn = (lambda s, k: s) if collect is None else collect
+    def bind_step(params):
+        return partial(
+            _mh_step,
+            log_prob_fn=lambda s, k: lp(params, s, k),
+            paired_log_prob_fn=None if plp is None else (
+                lambda a, b, k1, k2: plp(params, a, b, k1, k2)),
+            **statics)
 
-    @partial(jax.jit, static_argnames=("n_steps",))
-    def keep_chunk(carry, chunk_key, n_steps):
-        keys = jax.random.split(chunk_key, n_steps)
+    def get_chunk(kind, n_steps):
+        cache_key = (kind, n_steps, cache_tag)
+        if cache_key in jit_cache:
+            return jit_cache[cache_key]
 
-        def body(c, k):
-            k_mh, k_col = jax.random.split(k)
-            new_c, rate = step(c, k_mh)
-            return new_c, (collect_fn(new_c[0], k_col), rate)
+        if kind == "burn":
+            @jax.jit
+            def chunk(carry, chunk_key, params):
+                step = bind_step(params)
+                keys = jax.random.split(chunk_key, n_steps)
+                carry, rates = jax.lax.scan(lambda c, k: step(c, k), carry, keys)
+                return carry, rates[-1]
+        else:
+            @jax.jit
+            def chunk(carry, chunk_key, params):
+                step = bind_step(params)
+                keys = jax.random.split(chunk_key, n_steps)
 
-        carry, (samples, rates) = jax.lax.scan(body, carry, keys)
-        return carry, samples, rates[-1]
+                def body(c, k):
+                    k_mh, k_col = jax.random.split(k)
+                    new_c, rate = step(c, k_mh)
+                    return new_c, (collect_fn(params, new_c[0], k_col), rate)
+
+                carry, (samples, rates) = jax.lax.scan(body, carry, keys)
+                return carry, samples, rates[-1]
+
+        jit_cache[cache_key] = chunk
+        return chunk
 
     window = jnp.zeros((window_size,), jnp.float32)
     carry = (init_state, logp0, jnp.asarray(q_sd, jnp.float32), window,
@@ -158,7 +223,7 @@ def adaptive_mh(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000,
     while done < burn_in:
         n_steps = min(CHUNK, burn_in - done)
         key, k_chunk = jax.random.split(key)
-        carry, rate = burn_chunk(carry, k_chunk, n_steps=n_steps)
+        carry, rate = get_chunk("burn", n_steps)(carry, k_chunk, params)
         done += n_steps
 
     # Phase 2: sampling (no adaptation fires since t >= burn_in).
@@ -167,7 +232,7 @@ def adaptive_mh(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000,
     while done < n_keep:
         n_steps = min(CHUNK, n_keep - done)
         key, k_chunk = jax.random.split(key)
-        carry, samples, rate = keep_chunk(carry, k_chunk, n_steps=n_steps)
+        carry, samples, rate = get_chunk("keep", n_steps)(carry, k_chunk, params)
         chunks.append(samples)
         done += n_steps
 

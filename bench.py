@@ -45,16 +45,24 @@ def bench_predict(model, data, n_long=4000, n_short=500):
 
     x, y, v = (jnp.asarray(a) for a in data)
     n = x.shape[0]
-    log_prob = model._make_log_prob(x, y, v)
     evals_per_step = 2 if model.cfg.use_bnn else 1
+
+    # The exact predict() path: params-mode target (compiled chain reused
+    # across calls) with the paired 2n-row fused evaluation on BNN steps.
+    lp, plp, make_params = model._make_param_log_prob()
+    paired = model.cfg.use_bnn and plp is not None
+    params = make_params(model.nets, (x, y, v), paired)
+    jit_cache = {}
 
     key = jax.random.PRNGKey(0)
     init = jax.random.normal(key, (n, sum(model.cfg.z_dims)))
 
     def run(steps):
         t0 = time.perf_counter()
-        res = mcmc.adaptive_mh(log_prob, init, key, burn_in=steps, n_keep=0,
-                               q_sd=1.0, recompute_current=model.cfg.use_bnn)
+        res = mcmc.adaptive_mh(lp, init, key, burn_in=steps, n_keep=0,
+                               q_sd=1.0, recompute_current=model.cfg.use_bnn,
+                               paired_log_prob_fn=plp if paired else None,
+                               params=params, jit_cache=jit_cache)
         jax.block_until_ready(res.q_sd)
         return time.perf_counter() - t0
 

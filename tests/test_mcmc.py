@@ -82,3 +82,67 @@ def test_adaptive_mala_recovers_standard_normal():
     np.testing.assert_allclose(samples.std(axis=0), 1.0, atol=0.1)
     # adaptation toward the MALA-optimal band
     assert 0.4 < float(samples_res.accept_rate) <= 1.0
+
+
+def test_adaptive_mh_params_mode_matches_closure_mode():
+    """Explicit-params mode (jit-cacheable chains) is bit-identical to the
+    closure mode given the same key chain."""
+    def lp(params, s, k):
+        return -0.5 * jnp.sum((s - params["mu"]) ** 2, axis=-1)
+
+    init = jax.random.normal(jax.random.PRNGKey(3), (16, 3))
+    params = {"mu": jnp.ones((3,))}
+    key = jax.random.PRNGKey(4)
+    r_params = mcmc.adaptive_mh(lp, init, key, burn_in=200, n_keep=50,
+                                recompute_current=True, params=params)
+    r_closure = mcmc.adaptive_mh(lambda s, k: lp(params, s, k), init, key,
+                                 burn_in=200, n_keep=50, recompute_current=True)
+    np.testing.assert_array_equal(np.asarray(r_params.samples),
+                                  np.asarray(r_closure.samples))
+
+
+def test_adaptive_mh_paired_eval_matches_sequential():
+    """The single-launch paired (proposed, current) evaluation reproduces the
+    two-call path exactly for deterministic targets."""
+    def lp(params, s, k):
+        return -0.5 * jnp.sum((s - params["mu"]) ** 2, axis=-1)
+
+    def plp(params, prop, cur, k1, k2):
+        stacked = jnp.concatenate([prop, cur], axis=0)
+        vals = lp(params, stacked, k1)
+        n = prop.shape[0]
+        return vals[:n], vals[n:]
+
+    init = jax.random.normal(jax.random.PRNGKey(5), (16, 3))
+    params = {"mu": jnp.ones((3,))}
+    key = jax.random.PRNGKey(6)
+    r_seq = mcmc.adaptive_mh(lp, init, key, burn_in=300, n_keep=50,
+                             recompute_current=True, params=params)
+    r_pair = mcmc.adaptive_mh(lp, init, key, burn_in=300, n_keep=50,
+                              recompute_current=True, params=params,
+                              paired_log_prob_fn=plp)
+    np.testing.assert_array_equal(np.asarray(r_seq.samples),
+                                  np.asarray(r_pair.samples))
+
+
+def test_adaptive_mh_jit_cache_reused_across_calls():
+    """A shared jit_cache compiles each chunk program once; later chains with
+    different param VALUES (same shapes) hit the cache and still produce
+    value-dependent results."""
+    def lp(params, s, k):
+        return -0.5 * jnp.sum((s - params["mu"]) ** 2, axis=-1)
+
+    init = jnp.zeros((8, 2))
+    key = jax.random.PRNGKey(7)
+    cache = {}
+    r1 = mcmc.adaptive_mh(lp, init, key, burn_in=200, n_keep=100,
+                          params={"mu": jnp.zeros((2,))}, jit_cache=cache)
+    n_entries = len(cache)
+    assert n_entries > 0
+    r2 = mcmc.adaptive_mh(lp, init, key, burn_in=200, n_keep=100,
+                          params={"mu": 5.0 * jnp.ones((2,))}, jit_cache=cache)
+    assert len(cache) == n_entries  # no new programs compiled
+    # The cached program really used the new values, not stale constants.
+    m1 = float(np.asarray(r1.samples).mean())
+    m2 = float(np.asarray(r2.samples).mean())
+    assert abs(m1) < 1.0 and abs(m2 - 5.0) < 1.0
