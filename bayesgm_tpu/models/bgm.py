@@ -570,6 +570,15 @@ class BGM:
 
     # -- Posterior inference -----------------------------------------------------
 
+    def _jit_cache(self, key, build):
+        """Per-instance cache of jitted callables / compiled-chain caches."""
+        cache = getattr(self, "_jitted", None)
+        if cache is None:
+            cache = self._jitted = {}
+        if key not in cache:
+            cache[key] = build()
+        return cache[key]
+
     def _prep_obs_indices(self, data_np, ind_x1):
         """Build padded (n, K_max) index + mask tensors from ragged observed
         index lists (reference bgm/base.py:741-775)."""
@@ -620,12 +629,19 @@ class BGM:
 
     def tfp_mcmc_sampler(self, data, ind_x1=None, n_mcmc=3000, burn_in=5000,
                          step_size=0.01, num_leapfrog_steps=10, seed=42, collect=None,
-                         mesh=None):
+                         mesh=None, collect_p=None):
         """HMC over p(Z | X_obs): n independent chains, adaptive step size
         over the first 80% of burn-in toward 0.75 acceptance (reference
         bgm/base.py:709-830).  Returns (n_mcmc, n, z_dim) samples, or the
         collected statistics when ``collect`` is given.  ``mesh`` shards the
-        chains (data rows + state) over the device mesh."""
+        chains (data rows + state) over the device mesh.
+
+        The chain runs in explicit-params mode: weights/data are jit
+        arguments, so same-shape calls (every ``bs`` batch of ``predict``)
+        reuse ONE compiled program.  ``collect_p(params, state, key)`` is the
+        params-mode collector used internally by ``predict``; a closure-mode
+        ``collect`` still works but disables the cross-call program cache
+        (its captured values would go stale)."""
         data_np = np.asarray(data, np.float32)
         data_dev = jnp.asarray(data_np)
         ind_mat, obs_mask = self._prep_obs_indices(data_np, ind_x1)
@@ -640,17 +656,32 @@ class BGM:
             nets = replicate(nets, mesh)
             g_state = replicate(g_state, mesh)
 
-        def log_prob(z, key):
-            mu, sigma_sq, _ = _g_apply(cfg, nets["g"], g_state, z, key, train=False)
-            if ind_mat is None:
-                loss_px = dist.gaussian_nll_diag(data_dev, mu, sigma_sq)
+        has_ind = ind_mat is not None
+
+        def log_prob(params, z, key):
+            mu, sigma_sq, _ = _g_apply(cfg, params["nets"]["g"], params["g_state"],
+                                       z, key, train=False)
+            if not has_ind:
+                loss_px = dist.gaussian_nll_diag(params["data"], mu, sigma_sq)
             else:
-                x_c = jnp.take_along_axis(data_dev, ind_mat, axis=1)
-                mu_c = jnp.take_along_axis(mu, ind_mat, axis=1)
-                s_c = jnp.take_along_axis(sigma_sq, ind_mat, axis=1)
-                ll = ((x_c - mu_c) ** 2 / (2.0 * s_c) + 0.5 * jnp.log(s_c)) * obs_mask
+                x_c = jnp.take_along_axis(params["data"], params["ind"], axis=1)
+                mu_c = jnp.take_along_axis(mu, params["ind"], axis=1)
+                s_c = jnp.take_along_axis(sigma_sq, params["ind"], axis=1)
+                ll = ((x_c - mu_c) ** 2 / (2.0 * s_c) + 0.5 * jnp.log(s_c)) * params["mask"]
                 loss_px = jnp.sum(ll, axis=1)
             return -(dist.standard_normal_neg_log_prior(z) + loss_px)
+
+        params = {"nets": nets, "g_state": g_state, "data": data_dev,
+                  "ind": ind_mat, "mask": obs_mask}
+        if collect_p is not None:
+            col = collect_p
+            jit_cache = self._jit_cache(("hmc_chain_jit", has_ind), dict)
+        elif collect is not None:
+            col = lambda p, s, k: collect(s, k)
+            jit_cache = None  # user closure: values are baked, don't cache
+        else:
+            col = None
+            jit_cache = self._jit_cache(("hmc_chain_jit", has_ind), dict)
 
         init = jax.random.normal(jax.random.PRNGKey(seed), (data_np.shape[0], cfg.z_dim))
         if mesh is not None:
@@ -658,7 +689,8 @@ class BGM:
 
             init = shard_rows(init, mesh)
         res = mcmc.hmc(log_prob, init, self._next_key(), burn_in=burn_in, n_keep=n_mcmc,
-                       step_size=step_size, num_leapfrog=num_leapfrog_steps, collect=collect)
+                       step_size=step_size, num_leapfrog=num_leapfrog_steps,
+                       collect=col, params=params, jit_cache=jit_cache)
         print(f"TPU HMC Acceptance Rate: {float(res.accept_rate):.4f}")
         return res.samples
 
@@ -683,11 +715,14 @@ class BGM:
         is_nan = np.isnan(data_np)
         data_clean = np.nan_to_num(data_np, nan=0.0)
 
-        cfg, nets, g_state = self.cfg, self.nets, self.g_state
+        cfg = self.cfg
 
-        def decode(z, key):
+        def decode_p(params, z, key):
+            # Params-mode decode: weights flow through the cached chain
+            # program, so every same-shape subject batch reuses one compile.
             k1, k2 = jax.random.split(key)
-            mu, sigma_sq, _ = _g_apply(cfg, nets["g"], g_state, z, k1, train=False)
+            mu, sigma_sq, _ = _g_apply(cfg, params["nets"]["g"], params["g_state"],
+                                       z, k1, train=False)
             return nn.reparameterize(k2, mu, sigma_sq)
 
         cubes = []
@@ -697,8 +732,8 @@ class BGM:
             cubes.append(np.asarray(self.tfp_mcmc_sampler(
                 data=data_clean[start:end], ind_x1=ind_x1_list, n_mcmc=n_mcmc,
                 burn_in=burn_in, step_size=step_size,
-                num_leapfrog_steps=num_leapfrog_steps, seed=seed, collect=decode,
-                mesh=mesh)))
+                num_leapfrog_steps=num_leapfrog_steps, seed=seed,
+                collect_p=decode_p, mesh=mesh)))
         data_x_pred_all = np.concatenate(cubes, axis=1)  # (n_mcmc, n, x_dim)
 
         miss_mask = is_nan

@@ -456,9 +456,10 @@ class MNISTBGM(BGM):
 
     def tfp_mcmc_sampler(self, data, ind_x1=None, n_mcmc=3000, burn_in=5000,
                          step_size=0.01, num_leapfrog_steps=10, seed=42, collect=None,
-                         mesh=None):
+                         mesh=None, collect_p=None):
         """HMC over p(Z | X_obs) with the Bernoulli likelihood.  ``mesh``
-        shards the per-image chains over the device mesh."""
+        shards the per-image chains over the device mesh.  Explicit-params
+        chain + per-model program cache as in :meth:`BGM.tfp_mcmc_sampler`."""
         data_np = np.asarray(data, np.float32)
         n = data_np.shape[0]
         flat_np = data_np.reshape(n, -1)
@@ -474,18 +475,32 @@ class MNISTBGM(BGM):
                 obs_mask = shard_rows(obs_mask, mesh)
             nets = replicate(nets, mesh)
 
-        def log_prob(z, key):
+        has_ind = ind_mat is not None
+
+        def log_prob(params, z, key):
             k_g, k_rep = jax.random.split(key)
-            mu, var = _gen_apply(cfg, nets["g"], z, k_g)
+            mu, var = _gen_apply(cfg, params["nets"]["g"], z, k_g)
             logits = jnp.clip(nn.reparameterize(k_rep, mu, var), -10.0, 10.0)
             logits_flat = logits.reshape(z.shape[0], -1)
-            if ind_mat is None:
-                ll = jnp.sum(data_dev * logits_flat - jax.nn.softplus(logits_flat), axis=1)
+            if not has_ind:
+                ll = jnp.sum(params["data"] * logits_flat
+                             - jax.nn.softplus(logits_flat), axis=1)
             else:
-                x_c = jnp.take_along_axis(data_dev, ind_mat, axis=1)
-                l_c = jnp.take_along_axis(logits_flat, ind_mat, axis=1)
-                ll = jnp.sum((x_c * l_c - jax.nn.softplus(l_c)) * obs_mask, axis=1)
+                x_c = jnp.take_along_axis(params["data"], params["ind"], axis=1)
+                l_c = jnp.take_along_axis(logits_flat, params["ind"], axis=1)
+                ll = jnp.sum((x_c * l_c - jax.nn.softplus(l_c)) * params["mask"], axis=1)
             return -dist.standard_normal_neg_log_prior(z) + ll
+
+        params = {"nets": nets, "data": data_dev, "ind": ind_mat, "mask": obs_mask}
+        if collect_p is not None:
+            col = collect_p
+            jit_cache = self._jit_cache(("hmc_chain_jit", has_ind), dict)
+        elif collect is not None:
+            col = lambda p, s, k: collect(s, k)
+            jit_cache = None  # user closure: values are baked, don't cache
+        else:
+            col = None
+            jit_cache = self._jit_cache(("hmc_chain_jit", has_ind), dict)
 
         init = jax.random.normal(jax.random.PRNGKey(seed), (n, cfg.z_dim))
         if mesh is not None:
@@ -493,7 +508,8 @@ class MNISTBGM(BGM):
 
             init = shard_rows(init, mesh)
         res = mcmc.hmc(log_prob, init, self._next_key(), burn_in=burn_in, n_keep=n_mcmc,
-                       step_size=step_size, num_leapfrog=num_leapfrog_steps, collect=collect)
+                       step_size=step_size, num_leapfrog=num_leapfrog_steps,
+                       collect=col, params=params, jit_cache=jit_cache)
         print(f"TPU HMC Acceptance Rate: {float(res.accept_rate):.4f}")
         return res.samples
 
@@ -512,11 +528,11 @@ class MNISTBGM(BGM):
         data_clean = np.nan_to_num(data_np, nan=0.0)
         flat_obs = (~is_nan).reshape(n, -1)
 
-        cfg, nets = self.cfg, self.nets
+        cfg = self.cfg
 
-        def decode(z, key):
+        def decode_p(params, z, key):
             k_g, k_rep = jax.random.split(key)
-            mu, var = _gen_apply(cfg, nets["g"], z, k_g)
+            mu, var = _gen_apply(cfg, params["nets"]["g"], z, k_g)
             return jax.nn.sigmoid(nn.reparameterize(k_rep, mu, var))
 
         cubes = []
@@ -527,7 +543,7 @@ class MNISTBGM(BGM):
                 data=data_clean[start:end], ind_x1=ind_x1_list, n_mcmc=n_mcmc,
                 burn_in=burn_in, step_size=step_size,
                 num_leapfrog_steps=num_leapfrog_steps, seed=seed,
-                collect=decode, mesh=mesh)))
+                collect_p=decode_p, mesh=mesh)))
         data_x_pred_all = np.concatenate(cubes, axis=1)  # (n_mcmc, n, 28, 28, 1)
 
         miss_flat = is_nan.reshape(n, -1)

@@ -302,45 +302,80 @@ def _hmc_step(carry, key, log_prob_fn, grad_fn, num_leapfrog, target_accept,
 def hmc(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000,
         n_keep: int = 3000, step_size: float = 0.01, num_leapfrog: int = 10,
         target_accept: float = 0.75, adapt_fraction: float = 0.8,
-        adaptation_rate: float = 0.01,
-        collect: Optional[Callable] = None) -> HMCResult:
+        adaptation_rate: float = 0.01, collect: Optional[Callable] = None,
+        params=None, jit_cache: Optional[dict] = None) -> HMCResult:
     """HMC over ``n`` independent chains (axis 0) with burn-in step-size
     adaptation for the first ``adapt_fraction`` of burn-in steps.
 
     ``log_prob_fn(state, key) -> (n,)`` must be differentiable in ``state``.
+
+    ``params``/``jit_cache`` mirror :func:`adaptive_mh`: with ``params``
+    given, ``log_prob_fn``/``collect`` take ``(params, state, key)`` and all
+    closed-over arrays flow through the jitted chain programs as arguments,
+    so a caller-owned ``jit_cache`` makes repeated same-shape chains (e.g.
+    every ``bs``-sized batch of ``BGM.predict``) reuse one compiled program
+    instead of retracing per call.
     """
-    grad_fn = jax.grad(lambda s, k: jnp.sum(log_prob_fn(s, k)))
+    if params is None:
+        _lp_outer, _col_outer = log_prob_fn, collect
+        lp = lambda p, s, k: _lp_outer(s, k)
+        col = None if _col_outer is None else (lambda p, s, k: _col_outer(s, k))
+        params = ()
+    else:
+        lp, col = log_prob_fn, collect
+    collect_fn = (lambda p, s, k: s) if col is None else col
+
     n_adapt = int(burn_in * adapt_fraction)
     k_init, key = jax.random.split(key)
-    logp0 = log_prob_fn(init_state, k_init)
-
-    step = partial(_hmc_step, log_prob_fn=log_prob_fn, grad_fn=grad_fn,
-                   num_leapfrog=num_leapfrog, target_accept=target_accept,
-                   n_adapt=n_adapt, adaptation_rate=adaptation_rate)
+    logp0 = lp(params, init_state, k_init)
 
     # HMC does num_leapfrog gradient evals per step; keep chunks shorter so a
     # single program stays well under TPU watchdog territory.
     chunk = max(1, CHUNK // max(1, num_leapfrog // 2))
 
-    @partial(jax.jit, static_argnames=("n_steps",))
-    def burn_chunk(carry, chunk_key, n_steps):
-        keys = jax.random.split(chunk_key, n_steps)
-        carry, _ = jax.lax.scan(lambda c, k: (step(c, k)[0], None), carry, keys)
-        return carry
+    if jit_cache is None:
+        jit_cache = {}
+    cache_tag = (
+        num_leapfrog, float(target_accept), n_adapt, float(adaptation_rate),
+        col is not None, init_state.shape, str(init_state.dtype),
+        jax.tree.structure(params),
+        tuple((l.shape, str(l.dtype)) for l in jax.tree.leaves(params)))
 
-    collect_fn = (lambda s, k: s) if collect is None else collect
+    def bind_step(params):
+        lp_p = lambda s, k: lp(params, s, k)
+        grad_fn = jax.grad(lambda s, k: jnp.sum(lp_p(s, k)))
+        return partial(_hmc_step, log_prob_fn=lp_p, grad_fn=grad_fn,
+                       num_leapfrog=num_leapfrog, target_accept=target_accept,
+                       n_adapt=n_adapt, adaptation_rate=adaptation_rate)
 
-    @partial(jax.jit, static_argnames=("n_steps",))
-    def keep_chunk(carry, chunk_key, n_steps):
-        keys = jax.random.split(chunk_key, n_steps)
+    def get_chunk(kind, n_steps):
+        cache_key = (kind, n_steps, cache_tag)
+        if cache_key in jit_cache:
+            return jit_cache[cache_key]
 
-        def body(c, k):
-            k_hmc, k_col = jax.random.split(k)
-            new_c, (_, acc_frac) = step(c, k_hmc)
-            return new_c, (collect_fn(new_c[0], k_col), acc_frac)
+        if kind == "burn":
+            @jax.jit
+            def chunk_fn(carry, chunk_key, params):
+                step = bind_step(params)
+                keys = jax.random.split(chunk_key, n_steps)
+                carry, _ = jax.lax.scan(lambda c, k: (step(c, k)[0], None), carry, keys)
+                return carry
+        else:
+            @jax.jit
+            def chunk_fn(carry, chunk_key, params):
+                step = bind_step(params)
+                keys = jax.random.split(chunk_key, n_steps)
 
-        carry, (samples, accs) = jax.lax.scan(body, carry, keys)
-        return carry, samples, jnp.sum(accs)
+                def body(c, k):
+                    k_hmc, k_col = jax.random.split(k)
+                    new_c, (_, acc_frac) = step(c, k_hmc)
+                    return new_c, (collect_fn(params, new_c[0], k_col), acc_frac)
+
+                carry, (samples, accs) = jax.lax.scan(body, carry, keys)
+                return carry, samples, jnp.sum(accs)
+
+        jit_cache[cache_key] = chunk_fn
+        return chunk_fn
 
     carry = (init_state, logp0, jnp.asarray(step_size, jnp.float32),
              jnp.asarray(0, jnp.int32))
@@ -349,7 +384,7 @@ def hmc(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000,
     while done < burn_in:
         n_steps = min(chunk, burn_in - done)
         key, k_chunk = jax.random.split(key)
-        carry = burn_chunk(carry, k_chunk, n_steps=n_steps)
+        carry = get_chunk("burn", n_steps)(carry, k_chunk, params)
         done += n_steps
 
     chunks = []
@@ -358,7 +393,7 @@ def hmc(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000,
     while done < n_keep:
         n_steps = min(chunk, n_keep - done)
         key, k_chunk = jax.random.split(key)
-        carry, samples, acc = keep_chunk(carry, k_chunk, n_steps=n_steps)
+        carry, samples, acc = get_chunk("keep", n_steps)(carry, k_chunk, params)
         chunks.append(samples)
         acc_sum = acc_sum + acc
         done += n_steps

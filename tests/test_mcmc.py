@@ -146,3 +146,27 @@ def test_adaptive_mh_jit_cache_reused_across_calls():
     m1 = float(np.asarray(r1.samples).mean())
     m2 = float(np.asarray(r2.samples).mean())
     assert abs(m1) < 1.0 and abs(m2 - 5.0) < 1.0
+
+
+def test_hmc_params_mode_matches_closure_mode_and_caches():
+    """hmc's explicit-params mode is bit-identical to closure mode, and a
+    shared jit_cache is reused across same-shape calls."""
+    def lp(params, s, k):
+        return -0.5 * jnp.sum((s - params["mu"]) ** 2, axis=-1)
+
+    init = jax.random.normal(jax.random.PRNGKey(8), (8, 2))
+    params = {"mu": jnp.ones((2,))}
+    key = jax.random.PRNGKey(9)
+    cache = {}
+    r_p = mcmc.hmc(lp, init, key, burn_in=100, n_keep=50, step_size=0.2,
+                   num_leapfrog=3, params=params, jit_cache=cache)
+    r_c = mcmc.hmc(lambda s, k: lp(params, s, k), init, key, burn_in=100,
+                   n_keep=50, step_size=0.2, num_leapfrog=3)
+    np.testing.assert_array_equal(np.asarray(r_p.samples), np.asarray(r_c.samples))
+    n_entries = len(cache)
+    assert n_entries > 0
+    r2 = mcmc.hmc(lp, init, key, burn_in=100, n_keep=50, step_size=0.2,
+                  num_leapfrog=3, params={"mu": 4.0 * jnp.ones((2,))},
+                  jit_cache=cache)
+    assert len(cache) == n_entries
+    assert abs(float(np.asarray(r2.samples).mean()) - 4.0) < 1.0
