@@ -99,7 +99,7 @@ def _latent_loss(cfg, g, g_state, z, x, key):
     return loss_px + loss_prior
 
 
-def _train_batch_step(cfg: BGMConfig, carry, idx, key, data_x):
+def _train_batch_step(cfg: BGMConfig, carry, idx, key, data_x, lr_scale=1.0):
     g, g_state, opt_g, z_table, z_opt = carry
     bx = data_x[idx]
     bz = z_table[idx]
@@ -107,11 +107,12 @@ def _train_batch_step(cfg: BGMConfig, carry, idx, key, data_x):
 
     (loss_x, (loss_mse, g_state)), grads = jax.value_and_grad(
         lambda gp: _g_loss(cfg, gp, g_state, bz, bx, kg), has_aux=True)(g)
-    g, opt_g = optim.adam_update(grads, opt_g, g, cfg.lr_theta)
+    g, opt_g = optim.adam_update(grads, opt_g, g, cfg.lr_theta * lr_scale)
 
     loss_post, z_grads = jax.value_and_grad(
         lambda zr: _latent_loss(cfg, g, g_state, zr, bx, kz))(bz)
-    z_table, z_opt = optim.table_adam_update_rows(z_grads, idx, z_opt, z_table, cfg.lr_z)
+    z_table, z_opt = optim.table_adam_update_rows(z_grads, idx, z_opt, z_table,
+                                                  cfg.lr_z * lr_scale)
 
     losses = dict(loss_x=loss_x, loss_mse_x=loss_mse, loss_postrior_z=loss_post)
     return (g, g_state, opt_g, z_table, z_opt), losses
@@ -225,7 +226,10 @@ class BGM:
         ``'g_units'``/``'e_units'`` ([64]*5), ``'dz_units'``/``'dx_units'``
         ([64,32,8]), ``'lr'`` (1e-3), ``'lr_theta'`` (5e-3), ``'lr_z'`` (5e-3),
         ``'gamma'`` (0), ``'alpha'`` (0), ``'g_d_freq'`` (1), ``'save_model'``
-        (False), ``'save_res'`` (True), ``'kl_weight'`` (5e-5).
+        (False), ``'save_res'`` (True), ``'kl_weight'`` (5e-5),
+        ``'lr_decay'`` (None | 'cosine' | 'linear' — iterative-phase lr
+        schedule over the fit call's epoch horizon; the reference trains at a
+        constant rate).
     """
 
     def __init__(self, params, timestamp=None, random_seed=None):
@@ -486,9 +490,9 @@ class BGM:
                              "skips incomplete batches (as the reference does).")
 
         @jax.jit
-        def epoch_fn(carry, idx_matrix, key):
+        def epoch_fn(carry, idx_matrix, key, lr_scale):
             keys = jax.random.split(key, idx_matrix.shape[0])
-            step = partial(_train_batch_step, cfg, data_x=data)
+            step = partial(_train_batch_step, cfg, data_x=data, lr_scale=lr_scale)
             carry, losses = jax.lax.scan(lambda c, xs: step(c, xs[0], xs[1]), carry,
                                          (idx_matrix, keys))
             return carry, {k: v[-1] for k, v in losses.items()}
@@ -497,13 +501,18 @@ class BGM:
         print("Iterative Updating Starts ...")
         from tqdm import tqdm
 
+        # Optional lr schedule (params['lr_decay']) — same semantics as
+        # CausalBGM.fit: traced scalar, horizon = this call's epochs.
+        decay = self.params.get("lr_decay")
+
         carry = (self.nets["g"], self.g_state, self.opt_g, self.data_z, z_opt)
         for epoch in tqdm(range(start_epoch, epochs + 1), desc="Epochs", unit="epoch",
                           disable=not verbose):
             k_perm, k_epoch = self._next_key(2)
             perm = jax.random.permutation(k_perm, n)
             idx_matrix = perm[: n_full * batch_size].reshape(n_full, batch_size)
-            carry, losses = epoch_fn(carry, idx_matrix, k_epoch)
+            carry, losses = epoch_fn(carry, idx_matrix, k_epoch,
+                                     optim.lr_schedule_scale(decay, epoch, epochs))
 
             if epoch % epochs_per_eval == 0:
                 g, g_state, opt_g, z_table, z_opt = carry

@@ -793,12 +793,7 @@ class CausalBGM:
         decay = self.params.get("lr_decay")
 
         def lr_scale_at(epoch):
-            frac = epoch / max(1, epochs)
-            if decay == "cosine":
-                return jnp.float32(0.5 * (1.0 + np.cos(np.pi * min(frac, 1.0))))
-            if decay == "linear":
-                return jnp.float32(max(1.0 - frac, 0.05))
-            return jnp.float32(1.0)
+            return optim.lr_schedule_scale(decay, epoch, epochs)
 
         carry = (self.nets, self.opts, self.data_z, z_opt)
         for epoch in tqdm(range(start_epoch, epochs + 1), desc="Epochs", unit="epoch",

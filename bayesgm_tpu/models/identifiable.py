@@ -57,25 +57,27 @@ def _ivae_latent_loss(cfg, nets, prior_net, z, x, y, v, u, key, kl_weight):
     return loss
 
 
-def _ivae_train_batch_step(cfg, kl_weight, carry, idx, key, data, data_u):
+def _ivae_train_batch_step(cfg, kl_weight, carry, idx, key, data, data_u,
+                           lr_scale=1.0):
     """g/h/f updates + joint (Z, prior_net) update (identifiable.py:303-323)."""
     nets, opts, prior_net, prior_opt, z_table, z_opt = carry
     x, y, v = data
     bx, by, bv, bu = x[idx], y[idx], v[idx], data_u[idx]
     bz = z_table[idx]
     kg, kh, kf, kz = jax.random.split(key, 4)
+    lr_th = cfg.lr_theta * lr_scale
 
     (loss_v, mse_v), g_grads = jax.value_and_grad(
         lambda g: cb._loss_v(cfg, g, bz, bv, kg), has_aux=True)(nets["g"])
-    new_g, opt_g = optim.adam_update(g_grads, opts["g"], nets["g"], cfg.lr_theta)
+    new_g, opt_g = optim.adam_update(g_grads, opts["g"], nets["g"], lr_th)
 
     (loss_x, mse_x), h_grads = jax.value_and_grad(
         lambda h: cb._loss_x(cfg, h, bz, bx, kh), has_aux=True)(nets["h"])
-    new_h, opt_h = optim.adam_update(h_grads, opts["h"], nets["h"], cfg.lr_theta)
+    new_h, opt_h = optim.adam_update(h_grads, opts["h"], nets["h"], lr_th)
 
     (loss_y, mse_y), f_grads = jax.value_and_grad(
         lambda f: cb._loss_y(cfg, f, bz, bx, by, kf), has_aux=True)(nets["f"])
-    new_f, opt_f = optim.adam_update(f_grads, opts["f"], nets["f"], cfg.lr_theta)
+    new_f, opt_f = optim.adam_update(f_grads, opts["f"], nets["f"], lr_th)
 
     nets = {**nets, "g": new_g, "h": new_h, "f": new_f}
     opts = {**opts, "g": opt_g, "h": opt_h, "f": opt_f}
@@ -85,8 +87,9 @@ def _ivae_train_batch_step(cfg, kl_weight, carry, idx, key, data, data_u):
     loss_post, (z_grads, prior_grads) = jax.value_and_grad(
         lambda zr, pn: _ivae_latent_loss(cfg, nets, pn, zr, bx, by, bv, bu, kz, kl_weight),
         argnums=(0, 1))(bz, prior_net)
-    z_table, z_opt = optim.table_adam_update_rows(z_grads, idx, z_opt, z_table, cfg.lr_z)
-    prior_net, prior_opt = optim.adam_update(prior_grads, prior_opt, prior_net, cfg.lr_theta)
+    z_table, z_opt = optim.table_adam_update_rows(z_grads, idx, z_opt, z_table,
+                                                  cfg.lr_z * lr_scale)
+    prior_net, prior_opt = optim.adam_update(prior_grads, prior_opt, prior_net, lr_th)
 
     losses = dict(loss_v=loss_v, mse_v=mse_v, loss_x=loss_x, mse_x=mse_x,
                   loss_y=loss_y, mse_y=mse_y, loss_postrior_z=loss_post)
@@ -241,15 +244,18 @@ class IdentifiableCausalBGM(cb.CausalBGM):
         step = partial(_ivae_train_batch_step, cfg, float(self.params["kl_weight"]))
 
         @jax.jit
-        def epoch_fn(carry, idx_matrix, key):
+        def epoch_fn(carry, idx_matrix, key, lr_scale):
             keys = jax.random.split(key, idx_matrix.shape[0])
             carry, losses = jax.lax.scan(
-                lambda c, xs: step(c, xs[0], xs[1], data, data_u), carry,
-                (idx_matrix, keys))
+                lambda c, xs: step(c, xs[0], xs[1], data, data_u, lr_scale=lr_scale),
+                carry, (idx_matrix, keys))
             return carry, {k: v[-1] for k, v in losses.items()}
 
         print("Iterative Updating Starts ...")
         from tqdm import tqdm
+
+        # Optional lr schedule (params['lr_decay']), as in CausalBGM.fit.
+        decay = self.params.get("lr_decay")
 
         carry = (self.nets, self.opts, self.prior_net, self._prior_opt,
                  self.data_z, z_opt)
@@ -258,7 +264,8 @@ class IdentifiableCausalBGM(cb.CausalBGM):
             k_perm, k_epoch = self._next_key(2)
             perm = jax.random.permutation(k_perm, n)
             idx_matrix = perm[: n_full * batch_size].reshape(n_full, batch_size)
-            carry, losses = epoch_fn(carry, idx_matrix, k_epoch)
+            carry, losses = epoch_fn(carry, idx_matrix, k_epoch,
+                                     optim.lr_schedule_scale(decay, epoch, epochs))
 
             if epoch % epochs_per_eval == 0:
                 (self.nets, self.opts, self.prior_net, self._prior_opt,

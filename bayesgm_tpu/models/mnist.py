@@ -70,7 +70,7 @@ def _latent_loss(cfg, g, z, x, key):
     return loss_px + loss_prior
 
 
-def _train_batch_step(cfg, carry, idx, key, data_x):
+def _train_batch_step(cfg, carry, idx, key, data_x, lr_scale=1.0):
     g, opt_g, z_table, z_opt = carry
     bx = data_x[idx]
     bz = z_table[idx]
@@ -78,11 +78,12 @@ def _train_batch_step(cfg, carry, idx, key, data_x):
 
     (loss_x, loss_mse), grads = jax.value_and_grad(
         lambda gp: _g_loss(cfg, gp, bz, bx, kg), has_aux=True)(g)
-    g, opt_g = optim.adam_update(grads, opt_g, g, cfg.lr_theta)
+    g, opt_g = optim.adam_update(grads, opt_g, g, cfg.lr_theta * lr_scale)
 
     loss_post, z_grads = jax.value_and_grad(
         lambda zr: _latent_loss(cfg, g, zr, bx, kz))(bz)
-    z_table, z_opt = optim.table_adam_update_rows(z_grads, idx, z_opt, z_table, cfg.lr_z)
+    z_table, z_opt = optim.table_adam_update_rows(z_grads, idx, z_opt, z_table,
+                                                  cfg.lr_z * lr_scale)
 
     losses = dict(loss_x=loss_x, loss_mse_x=loss_mse, loss_postrior_z=loss_post)
     return (g, opt_g, z_table, z_opt), losses
@@ -357,9 +358,9 @@ class MNISTBGM(BGM):
                              "skips incomplete batches (as the reference does).")
 
         @jax.jit
-        def epoch_fn(carry, idx_matrix, key):
+        def epoch_fn(carry, idx_matrix, key, lr_scale):
             keys = jax.random.split(key, idx_matrix.shape[0])
-            step = partial(_train_batch_step, cfg, data_x=data)
+            step = partial(_train_batch_step, cfg, data_x=data, lr_scale=lr_scale)
             carry, losses = jax.lax.scan(lambda c, xs: step(c, xs[0], xs[1]), carry,
                                          (idx_matrix, keys))
             return carry, {k: v[-1] for k, v in losses.items()}
@@ -368,13 +369,18 @@ class MNISTBGM(BGM):
         print("Iterative Updating Starts ...")
         from tqdm import tqdm
 
+        # Optional lr schedule (params['lr_decay']) — same semantics as
+        # CausalBGM.fit: traced scalar, horizon = this call's epochs.
+        decay = self.params.get("lr_decay")
+
         carry = (self.nets["g"], self.opt_g, self.data_z, z_opt)
         for epoch in tqdm(range(start_epoch, epochs + 1), desc="Epochs", unit="epoch",
                           disable=not verbose):
             k_perm, k_epoch = self._next_key(2)
             perm = jax.random.permutation(k_perm, n)
             idx_matrix = perm[: n_full * batch_size].reshape(n_full, batch_size)
-            carry, losses = epoch_fn(carry, idx_matrix, k_epoch)
+            carry, losses = epoch_fn(carry, idx_matrix, k_epoch,
+                                     optim.lr_schedule_scale(decay, epoch, epochs))
 
             if epoch % epochs_per_eval == 0:
                 g, opt_g, z_table, z_opt = carry

@@ -82,3 +82,23 @@ def table_adam_update_rows(grad_rows, idx, state: TableAdamState, table, lr: flo
     new_rows = table[idx] - lr_t * m[idx] / (jnp.sqrt(v[idx]) + EPS)
     new_table = table.at[idx].set(new_rows)
     return new_table, TableAdamState(m=m, v=v, t=t)
+
+
+def lr_schedule_scale(decay, epoch, total_epochs):
+    """Multiplicative learning-rate scale at ``epoch`` of a ``total_epochs``
+    horizon.
+
+    ``decay`` is ``'cosine'`` (half-cosine from 1 to 0), ``'linear'``
+    (1 -> 0.05 floor), or None/'' (constant 1 — the reference's behavior).
+    The scale is a traced f32 scalar, so schedules cause no recompiles.  The
+    horizon is the *current fit call's* epochs: resume a killed run with the
+    same ``epochs`` to replay the same schedule.
+    """
+    import math
+
+    frac = epoch / max(1, total_epochs)
+    if decay == "cosine":
+        return jnp.float32(0.5 * (1.0 + math.cos(math.pi * min(frac, 1.0))))
+    if decay == "linear":
+        return jnp.float32(max(1.0 - frac, 0.05))
+    return jnp.float32(1.0)

@@ -210,3 +210,26 @@ def test_causalbgm_predict_mala(causal_data, tmp_path):
                          x_values=[0.5, 1.5], sampler="mala")
     assert adrf.shape == (2,) and ci.shape == (2, 2)
     assert np.all(np.isfinite(adrf))
+
+
+def test_bgm_family_lr_decay_runs_and_scales_updates(tmp_path):
+    """lr_decay on BGM/MNISTBGM/Identifiable: the schedule runs end-to-end and
+    a decayed run ends at different weights than a constant-rate run."""
+    import jax.numpy as jnp
+
+    from bayesgm_tpu.datasets import simulate_z_hetero
+    from bayesgm_tpu.models.bgm import BGM
+
+    X, Y = simulate_z_hetero(n=200, k=2, d=3)
+    data = np.concatenate([Y[:, None] if Y.ndim == 1 else Y, X], axis=1).astype(np.float32)
+
+    outs = {}
+    for decay in (None, "cosine"):
+        params = dict(x_dim=data.shape[1], z_dim=2, dataset="lrdec",
+                      output_dir=str(tmp_path), save_res=False, save_model=False)
+        if decay:
+            params["lr_decay"] = decay
+        m = BGM(params, random_seed=11)
+        m.fit(data, epochs=3, use_egm_init=False, verbose=0, epochs_per_eval=10**9)
+        outs[decay] = jax.tree.leaves(m.nets["g"])[0]
+    assert not np.allclose(np.asarray(outs[None]), np.asarray(outs["cosine"]))
