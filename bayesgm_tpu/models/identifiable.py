@@ -387,8 +387,22 @@ class IdentifiableCausalBGM(cb.CausalBGM):
             nets = self.best_nets
         elif use_swa_nets and self.swa_nets is not None:
             nets = self.swa_nets
-        collect = cb._effect_collector(cfg, nets, x_values, sample_y)
         print("MCMC Latent Variable Sampling ...")
+
+        # Explicit-params chain (see CausalBGM.predict): same-shape batches
+        # and repeat predicts reuse one compiled program.
+        def lp(params, z, key):
+            k_lik, k_prior = jax.random.split(key)
+            x, y, v = params["data"]
+            rows = cb._neg_log_posterior_rows(cfg, params["nets"], z, x, y, v, k_lik)
+            rows = rows - dist.standard_normal_neg_log_prior(z)
+            rows = rows + _conditional_prior_nll(cfg, params["prior_net"], z,
+                                                 params["u"], k_prior)
+            return -rows
+
+        collect_p = cb._effect_collector_p(cfg, x_values, sample_y)
+        xv_key = None if x_values is None else tuple(np.asarray(x_values).tolist())
+        jit_cache = self._jit_cache(("mh_chain_jit_ivae", xv_key, bool(sample_y)), dict)
 
         def run_batch(bx, by, bv):
             batch = tuple(jnp.asarray(a) for a in (bx, by, bv))
@@ -400,10 +414,13 @@ class IdentifiableCausalBGM(cb.CausalBGM):
                 batch = tuple(shard_rows(a, mesh) for a in batch)
                 data_u = shard_rows(data_u, mesh)
                 init = shard_rows(init, mesh)
+            params = {"nets": nets, "prior_net": self.prior_net,
+                      "data": batch, "u": data_u}
             res = mcmc.adaptive_mh(
-                self._log_prob_with_u(batch, data_u, nets=nets), init, self._next_key(),
+                lp, init, self._next_key(),
                 burn_in=burn_in, n_keep=n_mcmc, q_sd=q0, adaptive=adaptive,
-                recompute_current=cfg.use_bnn, collect=collect)
+                recompute_current=cfg.use_bnn, collect=collect_p,
+                params=params, jit_cache=jit_cache)
             print(f"Final MCMC Acceptance Rate: {float(res.accept_rate):.4f}")
             return np.asarray(res.samples)
 
