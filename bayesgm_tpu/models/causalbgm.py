@@ -1053,7 +1053,7 @@ class CausalBGM:
     def _make_param_log_prob(self):
         """Params-mode MH target for ``ops.mcmc.adaptive_mh(params=...)``.
 
-        Returns ``(lp, plp, make_params)``:
+        Returns ``(lp, plp, make_params, make_multi_step)``:
 
         - ``lp(params, z, key) -> (n,)`` — the log-posterior with all weights
           and conditioning data passed through ``params`` (a jit argument),
@@ -1070,6 +1070,9 @@ class CausalBGM:
         - ``make_params(nets, data, paired) -> dict`` — builds the params
           pytree (flattened kernel weights, raw nets for the collector, data,
           and the pre-stacked 2n-row data when ``paired``).
+        - ``make_multi_step(K)`` or None — builds the K-steps-per-launch
+          fused MH window (pallas_kernels.make_fused_mh_steps_bnn) for the
+          burn-in phase: weights + data stay in VMEM across the K steps.
 
         Fused TPU path for the default BNN config; XLA composite elsewhere
         (``plp=None`` — pairing only pays when launches are discrete kernels).
@@ -1112,7 +1115,20 @@ class CausalBGM:
                     n = z_prop.shape[0]
                     return -neg[:n], -neg[n:]
 
-                return lp, plp, make_params
+                def make_multi_step(K):
+                    fused_ms = self._jit_cache(
+                        ("fused_mh_steps", tuple(map(tuple, dims)), K),
+                        lambda: pk.make_fused_mh_steps_bnn(cfg, *dims, n_steps=K))
+
+                    def multi_step(params, state, q_sd, key):
+                        gf, hf, ff = params["flat"]
+                        x, y, v = params["data"]
+                        return fused_ms(state, x, y, v, pk.key_to_seed(key),
+                                        q_sd, gf, hf, ff)
+
+                    return multi_step
+
+                return lp, plp, make_params, make_multi_step
             except Exception as e:  # pragma: no cover - pallas unavailable
                 import warnings
 
@@ -1137,7 +1153,7 @@ class CausalBGM:
                     x, y, v = params["data"]
                     return -fused(z, x, y, v, gf, hf, ff)
 
-                return lp, None, make_params
+                return lp, None, make_params, None
             except Exception as e:  # pragma: no cover - pallas unavailable
                 import warnings
 
@@ -1149,7 +1165,7 @@ class CausalBGM:
             x, y, v = params["data"]
             return -_neg_log_posterior_rows(cfg, params["nets"], z, x, y, v, key)
 
-        return lp, None, make_params
+        return lp, None, make_params, None
 
     def metropolis_hastings_sampler(self, data, initial_q_sd=1.0, q_sd=None, burn_in=5000,
                                     n_keep=3000, target_acceptance_rate=0.25, tolerance=0.05,
@@ -1255,7 +1271,15 @@ class CausalBGM:
             # predict (and every same-shape batch) reuses one compiled chain
             # program — no per-call retrace; BNN steps evaluate proposed +
             # current in ONE stacked fused-kernel launch (plp).
-            lp, plp, make_params = self._make_param_log_prob()
+            lp, plp, make_params, make_multi_step = self._make_param_log_prob()
+            # K-steps-per-launch burn-in kernel: measured SLOWER than the
+            # paired per-step path on the v5e (two serialized n-row evals per
+            # step pipeline worse than one flat 2n-row launch; RESULTS.md) —
+            # opt-in via params['mh_window_kernel'] for future hardware.
+            use_window_kernel = bool(self.params.get("mh_window_kernel", False))
+            multi_step = (make_multi_step(50)
+                          if use_window_kernel and make_multi_step is not None
+                          else None)
             collect_p = _effect_collector_p(cfg, x_values, sample_y)
             xv_key = None if x_values is None else tuple(np.asarray(x_values).tolist())
             jit_cache = self._jit_cache(
@@ -1285,6 +1309,7 @@ class CausalBGM:
                     lp, init, self._next_key(), burn_in=burn_in, n_keep=n_mcmc,
                     q_sd=q0, adaptive=adaptive, recompute_current=cfg.use_bnn,
                     collect=collect_p, paired_log_prob_fn=plp if paired else None,
+                    multi_step_fn=multi_step if mesh is None else None,
                     params=params, jit_cache=jit_cache)
             print(f"Final MCMC Acceptance Rate: {float(res.accept_rate):.4f}")
             return np.asarray(res.samples)

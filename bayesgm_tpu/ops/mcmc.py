@@ -106,6 +106,7 @@ def adaptive_mh(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000,
                 recompute_current: bool = False, shared_eval_key: bool = False,
                 collect: Optional[Callable] = None,
                 paired_log_prob_fn: Optional[Callable] = None,
+                multi_step_fn: Optional[Callable] = None,
                 params=None, jit_cache: Optional[dict] = None) -> MHResult:
     """Vectorized adaptive random-walk Metropolis–Hastings.
 
@@ -131,6 +132,18 @@ def adaptive_mh(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000,
         evaluates BOTH states of a ``recompute_current`` step in one launch —
         on TPU this stacks the two states into a single 2n-row fused-kernel
         call, halving kernel launches on the default BNN predict path.
+    multi_step_fn : callable or None
+        Params-mode-only ``(params, state, q_sd, key) ->
+        (state, logp, accept_counts)`` advancing every chain
+        ``adjustment_interval`` steps in ONE fused launch (see
+        pallas_kernels.make_fused_mh_steps_bnn).  Used for the burn-in phase
+        when ``recompute_current`` and the cadences align (``burn_in`` and
+        ``window_size`` multiples of ``adjustment_interval``); q_sd is frozen
+        within each window, which is exactly the reference's adaptation
+        cadence (q_sd only changes at interval boundaries) — the boundary
+        adjustment here fires at the START of a window from the rates of the
+        preceding window, a one-step offset from the reference's in-step
+        check.  The sampling phase (``collect``) stays per-step.
     params : pytree or None
         Explicit-parameters mode: all arrays the target/collector close over
         (network weights, conditioning data) are passed through the jitted
@@ -217,14 +230,62 @@ def adaptive_mh(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000,
     carry = (init_state, logp0, jnp.asarray(q_sd, jnp.float32), window,
              jnp.asarray(0, jnp.int32))
 
+    use_mega = (
+        multi_step_fn is not None and recompute_current and burn_in > 0
+        and adjustment_interval > 0
+        and burn_in % adjustment_interval == 0
+        and window_size % adjustment_interval == 0)
+    K = adjustment_interval
+    n_real = init_state.shape[0]
+
+    def get_mega_chunk(n_windows):
+        cache_key = ("mega", n_windows, cache_tag)
+        if cache_key in jit_cache:
+            return jit_cache[cache_key]
+
+        @jax.jit
+        def chunk(carry, chunk_key, params):
+            keys = jax.random.split(chunk_key, n_windows)
+
+            def body(c, k):
+                state, logp, q_sd_c, win, t = c
+                # Boundary adaptation from the preceding window's rates.
+                n_valid = jnp.minimum(jnp.maximum(t, 1), window_size).astype(jnp.float32)
+                rate_now = jnp.sum(win) / n_valid
+
+                def adjust(q):
+                    q = jnp.where(rate_now < target_rate - tolerance, q * 0.9, q)
+                    q = jnp.where(rate_now > target_rate + tolerance, q * 1.1, q)
+                    return q
+
+                do_adjust = bool(adaptive) & (t > 0) & (t < burn_in)
+                q_sd_c = jnp.where(do_adjust, adjust(q_sd_c), q_sd_c)
+
+                state, logp, counts = multi_step_fn(params, state, q_sd_c, k)
+                rates = counts / jnp.float32(n_real)
+                win = jax.lax.dynamic_update_slice(win, rates, (t % window_size,))
+                return (state, logp, q_sd_c, win, t + K), rates[-1]
+
+            carry, rates = jax.lax.scan(body, carry, keys)
+            return carry, rates[-1]
+
+        jit_cache[cache_key] = chunk
+        return chunk
+
     # Phase 1: burn-in (adaptation active, nothing collected).
     rate = jnp.asarray(0.0)
     done = 0
+    windows_per_chunk = max(1, CHUNK // K)
     while done < burn_in:
-        n_steps = min(CHUNK, burn_in - done)
         key, k_chunk = jax.random.split(key)
-        carry, rate = get_chunk("burn", n_steps)(carry, k_chunk, params)
-        done += n_steps
+        if use_mega:
+            n_windows = min(windows_per_chunk, (burn_in - done) // K)
+            carry, rate = get_mega_chunk(n_windows)(carry, k_chunk, params)
+            done += n_windows * K
+        else:
+            n_steps = min(CHUNK, burn_in - done)
+            carry, rate = get_chunk("burn", n_steps)(carry, k_chunk, params)
+            done += n_steps
 
     # Phase 2: sampling (no adaptation fires since t >= burn_in).
     chunks = []

@@ -277,6 +277,50 @@ def _flipout_chain(h, refs, n_layers):
     return h
 
 
+def _causal_neg_logp_block(cfg, z, x, y, v, g_refs, h_refs, f_refs,
+                           n_g, n_h, n_f):
+    """Negative log-posterior rows for one VMEM-resident block (stochastic
+    flipout target, fresh in-kernel weight noise).  Shared by the one-shot
+    logp kernel and the multi-step MH kernel."""
+    d0, d1, d2, _ = cfg.z_dims
+    v_dim = cfg.v_dim
+    eps_f = 1e-6
+    z0 = z[:, :d0]
+    z1 = z[:, d0 : d0 + d1]
+    z2 = z[:, d0 + d1 : d0 + d1 + d2]
+
+    g_out = _flipout_chain(z, g_refs, n_g)
+    mu_v = g_out[:, :v_dim]
+    if cfg.sigma_v is not None:
+        s_v = jnp.float32(cfg.sigma_v) ** 2
+    else:
+        s_v = jax.nn.softplus(g_out[:, v_dim]) + eps_f
+    loss_v = jnp.sum((v - mu_v) ** 2, axis=1) / (2.0 * s_v) + v_dim * jnp.log(s_v) / 2.0
+
+    h_out = _flipout_chain(jnp.concatenate([z0, z2], axis=1), h_refs, n_h)
+    mu_x = h_out[:, 0:1]
+    if cfg.binary_treatment:
+        lx = mu_x[:, 0]
+        loss_x = jnp.maximum(lx, 0.0) - lx * x[:, 0] + jnp.log1p(jnp.exp(-jnp.abs(lx)))
+    else:
+        if cfg.sigma_x is not None:
+            s_x = jnp.float32(cfg.sigma_x) ** 2
+        else:
+            s_x = jax.nn.softplus(h_out[:, 1]) + eps_f
+        loss_x = jnp.sum((x - mu_x) ** 2, axis=1) / (2.0 * s_x) + jnp.log(s_x) / 2.0
+
+    f_out = _flipout_chain(jnp.concatenate([z0, z1, x], axis=1), f_refs, n_f)
+    mu_y = f_out[:, 0:1]
+    if cfg.sigma_y is not None:
+        s_y = jnp.float32(cfg.sigma_y) ** 2
+    else:
+        s_y = jax.nn.softplus(f_out[:, 1]) + eps_f
+    loss_y = jnp.sum((y - mu_y) ** 2, axis=1) / (2.0 * s_y) + jnp.log(s_y) / 2.0
+
+    loss_prior = jnp.sum(z * z, axis=1) / 2.0
+    return loss_v + loss_x + loss_y + loss_prior
+
+
 def make_fused_causal_logp_bnn(cfg, g_dims, h_dims, f_dims,
                                block_rows: int | None = None,
                                interpret: bool | None = None):
@@ -319,44 +363,10 @@ def make_fused_causal_logp_bnn(cfg, g_dims, h_dims, f_dims,
         # first so each row block draws an independent stream.
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 1103515245, seed_ref[1])
 
-        z = z_ref[:]
-        x = x_ref[:]
-        y = y_ref[:]
-        v = v_ref[:]
-        z0 = z[:, :d0]
-        z1 = z[:, d0 : d0 + d1]
-        z2 = z[:, d0 + d1 : d0 + d1 + d2]
-
-        g_out = _flipout_chain(z, g_refs, n_g)
-        mu_v = g_out[:, :v_dim]
-        if cfg.sigma_v is not None:
-            s_v = jnp.float32(cfg.sigma_v) ** 2
-        else:
-            s_v = jax.nn.softplus(g_out[:, v_dim]) + eps_f
-        loss_v = jnp.sum((v - mu_v) ** 2, axis=1) / (2.0 * s_v) + v_dim * jnp.log(s_v) / 2.0
-
-        h_out = _flipout_chain(jnp.concatenate([z0, z2], axis=1), h_refs, n_h)
-        mu_x = h_out[:, 0:1]
-        if cfg.binary_treatment:
-            lx = mu_x[:, 0]
-            loss_x = jnp.maximum(lx, 0.0) - lx * x[:, 0] + jnp.log1p(jnp.exp(-jnp.abs(lx)))
-        else:
-            if cfg.sigma_x is not None:
-                s_x = jnp.float32(cfg.sigma_x) ** 2
-            else:
-                s_x = jax.nn.softplus(h_out[:, 1]) + eps_f
-            loss_x = jnp.sum((x - mu_x) ** 2, axis=1) / (2.0 * s_x) + jnp.log(s_x) / 2.0
-
-        f_out = _flipout_chain(jnp.concatenate([z0, z1, x], axis=1), f_refs, n_f)
-        mu_y = f_out[:, 0:1]
-        if cfg.sigma_y is not None:
-            s_y = jnp.float32(cfg.sigma_y) ** 2
-        else:
-            s_y = jax.nn.softplus(f_out[:, 1]) + eps_f
-        loss_y = jnp.sum((y - mu_y) ** 2, axis=1) / (2.0 * s_y) + jnp.log(s_y) / 2.0
-
-        loss_prior = jnp.sum(z * z, axis=1) / 2.0
-        out_ref[:] = (loss_v + loss_x + loss_y + loss_prior)[:, None]
+        neg = _causal_neg_logp_block(
+            cfg, z_ref[:], x_ref[:], y_ref[:], v_ref[:],
+            g_refs, h_refs, f_refs, n_g, n_h, n_f)
+        out_ref[:] = neg[:, None]
 
     def fn(z, x, y, v, seed, g_flat, h_flat, f_flat):
         n = z.shape[0]
@@ -390,6 +400,144 @@ def make_fused_causal_logp_bnn(cfg, g_dims, h_dims, f_dims,
             interpret=interpret,
         )(jnp.asarray(seed, jnp.int32), z, x, y, v, *flat)
         return out[:n, 0]
+
+    return fn
+
+
+def make_fused_mh_steps_bnn(cfg, g_dims, h_dims, f_dims, n_steps: int,
+                            block_rows: int | None = None,
+                            interpret: bool | None = None):
+    """``n_steps`` consecutive random-walk MH steps on the stochastic
+    flipout-BNN CausalBGM posterior in ONE ``pallas_call``.
+
+    Chains are row-independent (one per subject, causalbgm/base.py:820-904),
+    so each row block advances its sub-chains ``n_steps`` steps with weights
+    and conditioning data resident in VMEM: proposal normals, two fresh-noise
+    log-posterior evaluations (proposed + current, matching the reference's
+    two ``get_log_posterior`` calls per step), accept uniforms and state
+    updates all run on-core.  Per-launch HBM traffic drops from
+    ``2 * n_steps`` data reads to one, and ``n_steps`` kernel dispatches to
+    one.  The proposal sd is FROZEN for the ``n_steps`` window — use
+    ``n_steps = adjustment_interval`` so this exactly matches the reference's
+    adaptation cadence (q_sd only ever changes at interval boundaries,
+    base.py:880-892).
+
+    Returns ``fn(z, x, y, v, seed, q_sd, g_flat, h_flat, f_flat)
+    -> (z_out (n,zd), logp_out (n,), accept_counts (n_steps,))`` where
+    ``accept_counts[i]`` is the number of accepted moves (over the real n
+    rows) at in-window step i.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = not on_tpu()
+    z_dim = sum(cfg.z_dims)
+    v_dim = cfg.v_dim
+    if block_rows is None:
+        max_width = max(*g_dims, *h_dims, *f_dims)
+        row_bytes = 4 * (2 * z_dim + 2 + 2 * (v_dim + 1) + 4 * max_width)
+        block_rows = pick_block_rows(row_bytes)
+    n_g = len(g_dims) - 1
+    n_h = len(h_dims) - 1
+    n_f = len(f_dims) - 1
+
+    def kernel(sc_ref, qsd_ref, z_ref, x_ref, y_ref, v_ref, *refs):
+        z_out_ref, logp_out_ref, acc_ref = refs[-3], refs[-2], refs[-1]
+        wrefs = refs[:-3]
+        g_refs = wrefs[: 2 + 3 * n_g]
+        h_refs = wrefs[2 + 3 * n_g : 4 + 3 * (n_g + n_h)]
+        f_refs = wrefs[4 + 3 * (n_g + n_h) :]
+
+        pltpu.prng_seed(sc_ref[0] + pl.program_id(0) * 1103515245, sc_ref[1])
+        n_real = sc_ref[2]
+        q_sd = qsd_ref[0]
+
+        x = x_ref[:]
+        y = y_ref[:]
+        v = v_ref[:]
+        B = z_ref.shape[0]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+        valid_f = (rows + pl.program_id(0) * B < n_real).astype(jnp.float32)
+        step_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_steps), 1)
+        ones_row = jnp.ones((1, B), jnp.float32)
+
+        def neg_logp(zz):
+            return _causal_neg_logp_block(cfg, zz, x, y, v, g_refs, h_refs,
+                                          f_refs, n_g, n_h, n_f)
+
+        def body(i, carry):
+            # Everything stays 2-D (Mosaic's vector layouts dislike 1-D
+            # scalar reductions); counting runs as (1,B)@(B,1) matmuls.
+            z, logp, acc = carry
+            proposed = z + q_sd * _kernel_normal(z.shape)
+            logp_prop = -neg_logp(proposed)[:, None]
+            # Fresh-noise re-evaluation of the current state, as the
+            # reference does per step for stochastic targets.
+            logp_cur = -neg_logp(z)[:, None]
+            u = jnp.maximum(_kernel_uniform((B, 1)), jnp.float32(1e-30))
+            accept = jnp.log(u) < (logp_prop - logp_cur)
+            z = jnp.where(accept, proposed, z)
+            logp = jnp.where(accept, logp_prop, logp_cur)
+            cnt = jnp.dot(ones_row, accept.astype(jnp.float32) * valid_f,
+                          preferred_element_type=jnp.float32)  # (1,1)
+            onehot = (step_iota == i).astype(jnp.float32)  # (1,n_steps)
+            acc = acc + jnp.dot(cnt, onehot, preferred_element_type=jnp.float32)
+            return z, logp, acc
+
+        z_fin, logp_fin, acc_fin = jax.lax.fori_loop(
+            0, n_steps, body,
+            (z_ref[:], jnp.zeros((B, 1), jnp.float32),
+             jnp.zeros((1, n_steps), jnp.float32)))
+        z_out_ref[:] = z_fin
+        logp_out_ref[:] = logp_fin
+        acc_ref[:] = acc_fin[None, :, :]
+
+    def fn(z, x, y, v, seed, q_sd, g_flat, h_flat, f_flat):
+        n = z.shape[0]
+        n_pad = _round_up(max(n, 8), block_rows)
+        if n_pad != n:
+            pad = ((0, n_pad - n), (0, 0))
+            z = jnp.pad(z, pad)
+            x = jnp.pad(x, pad)
+            y = jnp.pad(y, pad)
+            v = jnp.pad(v, pad)
+        n_blocks = n_pad // block_rows
+        grid = (n_blocks,)
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed0, seed1, n_real
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # q_sd f32[1]
+            pl.BlockSpec((block_rows, z_dim), lambda i: (i, 0)),
+            pl.BlockSpec((block_rows, 1), lambda i: (i, 0)),
+            pl.BlockSpec((block_rows, 1), lambda i: (i, 0)),
+            pl.BlockSpec((block_rows, v_dim), lambda i: (i, 0)),
+        ]
+        flat = [*g_flat, *h_flat, *f_flat]
+        for p in flat:
+            if p.ndim == 2:
+                in_specs.append(pl.BlockSpec(p.shape, lambda i: (0, 0)))
+            else:
+                in_specs.append(pl.BlockSpec(p.shape, lambda i: (0,)))
+        sc = jnp.concatenate([jnp.asarray(seed, jnp.int32).reshape(2),
+                              jnp.asarray([n], jnp.int32)])
+        z_out, logp_out, acc = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((block_rows, z_dim), lambda i: (i, 0)),
+                pl.BlockSpec((block_rows, 1), lambda i: (i, 0)),
+                # 3-D: last two block dims equal the array dims (Mosaic's
+                # block-shape rule; a (1, n_steps) 2-D block violates it).
+                pl.BlockSpec((1, 1, n_steps), lambda i: (i, 0, 0)),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_pad, z_dim), jnp.float32),
+                jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+                jax.ShapeDtypeStruct((n_blocks, 1, n_steps), jnp.float32),
+            ),
+            interpret=interpret,
+        )(sc, jnp.asarray(q_sd, jnp.float32).reshape(1), z, x, y, v, *flat)
+        return z_out[:n], logp_out[:n, 0], jnp.sum(acc[:, 0, :], axis=0)
 
     return fn
 

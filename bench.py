@@ -48,9 +48,11 @@ def bench_predict(model, data, n_long=4000, n_short=500):
     evals_per_step = 2 if model.cfg.use_bnn else 1
 
     # The exact predict() path: params-mode target (compiled chain reused
-    # across calls) with the paired 2n-row fused evaluation on BNN steps.
-    lp, plp, make_params = model._make_param_log_prob()
+    # across calls), the K-steps-per-launch fused MH window for burn-in, and
+    # the paired 2n-row fused evaluation for per-step (sampling-phase) steps.
+    lp, plp, make_params, _ = model._make_param_log_prob()
     paired = model.cfg.use_bnn and plp is not None
+    multi_step = None  # window kernel measured slower; default path is paired
     params = make_params(model.nets, (x, y, v), paired)
     jit_cache = {}
 
@@ -62,6 +64,7 @@ def bench_predict(model, data, n_long=4000, n_short=500):
         res = mcmc.adaptive_mh(lp, init, key, burn_in=steps, n_keep=0,
                                q_sd=1.0, recompute_current=model.cfg.use_bnn,
                                paired_log_prob_fn=plp if paired else None,
+                               multi_step_fn=multi_step,
                                params=params, jit_cache=jit_cache)
         jax.block_until_ready(res.q_sd)
         return time.perf_counter() - t0

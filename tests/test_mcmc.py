@@ -170,3 +170,50 @@ def test_hmc_params_mode_matches_closure_mode_and_caches():
                   jit_cache=cache)
     assert len(cache) == n_entries
     assert abs(float(np.asarray(r2.samples).mean()) - 4.0) < 1.0
+
+
+def _plain_multi_step(lp_fn, K):
+    """Pure-JAX stand-in for the fused K-step MH window (same contract)."""
+    def mega(params, state, q_sd, key):
+        def body(s, k):
+            kp, ku = jax.random.split(k)
+            prop = s + q_sd * jax.random.normal(kp, s.shape)
+            lp_p = lp_fn(params, prop, k)
+            lp_c = lp_fn(params, s, k)
+            acc = jnp.log(jax.random.uniform(ku, lp_p.shape)) < lp_p - lp_c
+            s = jnp.where(acc[:, None], prop, s)
+            return s, jnp.sum(acc.astype(jnp.float32))
+        keys = jax.random.split(key, K)
+        state, counts = jax.lax.scan(body, state, keys)
+        return state, lp_fn(params, state, key), counts
+    return mega
+
+
+def test_adaptive_mh_multi_step_burn_recovers_target():
+    """Mega-window burn-in + per-step sampling recovers the target and the
+    window/adaptation bookkeeping stays sound."""
+    def lp(params, s, k):
+        return -0.5 * jnp.sum(s**2, axis=-1)
+
+    init = jnp.zeros((64, 3))
+    res = mcmc.adaptive_mh(lp, init, jax.random.PRNGKey(10), burn_in=500,
+                           n_keep=1500, q_sd=1.0, adaptive=True,
+                           recompute_current=True, params={},
+                           multi_step_fn=_plain_multi_step(lp, 50))
+    samples = np.asarray(res.samples).reshape(-1, 3)
+    np.testing.assert_allclose(samples.mean(axis=0), 0.0, atol=0.12)
+    np.testing.assert_allclose(samples.std(axis=0), 1.0, atol=0.12)
+
+
+def test_adaptive_mh_multi_step_adapts_q_sd():
+    """Boundary adaptation fires between mega windows: a tight target must
+    shrink q_sd during burn-in."""
+    def lp(params, s, k):
+        return -0.5 * jnp.sum((s / 0.01) ** 2, axis=-1)
+
+    init = jnp.zeros((16, 2))
+    res = mcmc.adaptive_mh(lp, init, jax.random.PRNGKey(11), burn_in=1000,
+                           n_keep=50, q_sd=1.0, adaptive=True,
+                           recompute_current=True, params={},
+                           multi_step_fn=_plain_multi_step(lp, 50))
+    assert float(res.q_sd) < 0.5
