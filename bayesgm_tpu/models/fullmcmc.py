@@ -177,6 +177,16 @@ class FullMCMCCausalBGM(cb.CausalBGM):
 
         return log_prob
 
+    def _weighted_log_prob_p(self, params, z, key):
+        """Params-mode MH target (see adaptive_mh(params=...)): the weight
+        stacks and data flow through the jitted chain as arguments, so
+        repeat predicts reuse one compiled program."""
+        g_s, h_s, f_s = params["w"]
+        x, y, v = params["data"]
+        idx = jax.random.randint(jax.random.fold_in(key, 0), (), 0, g_s.shape[0])
+        return -self._neg_log_posterior_with_weights(
+            z, x, y, v, g_s[idx], h_s[idx], f_s[idx])
+
     def metropolis_hastings_sampler(self, data, g_net_samples=None, h_net_samples=None,
                                     f_net_samples=None, initial_q_sd=1.0, q_sd=None,
                                     burn_in=5000, n_keep=3000, target_acceptance_rate=0.25,
@@ -199,14 +209,19 @@ class FullMCMCCausalBGM(cb.CausalBGM):
         q0 = initial_q_sd if adaptive_sd else q_sd
 
         init = jax.random.normal(self._next_key(), (n, sum(self.cfg.z_dims)))
+        params = {"w": (jnp.asarray(self.g_net_samples),
+                        jnp.asarray(self.h_net_samples),
+                        jnp.asarray(self.f_net_samples)),
+                  "data": data}
         res = mcmc.adaptive_mh(
-            self._make_weighted_log_prob(data), init, self._next_key(),
+            self._weighted_log_prob_p, init, self._next_key(),
             burn_in=burn_in, n_keep=n_keep, q_sd=float(q0), adaptive=bool(adaptive_sd),
             target_rate=target_acceptance_rate, tolerance=tolerance,
             adjustment_interval=adjustment_interval, window_size=window_size,
             # weights change per step -> recompute the current logp, with one
             # shared weight draw for both sides of the accept ratio
-            recompute_current=True, shared_eval_key=True)
+            recompute_current=True, shared_eval_key=True,
+            params=params, jit_cache=self._jit_cache(("mh_chain_jit_w",), dict))
         print(f"Final MCMC Acceptance Rate: {float(res.accept_rate):.4f}")
         return np.asarray(res.samples)
 
