@@ -237,10 +237,21 @@ def _kernel_uniform(shape):
 
 
 def _kernel_normal(shape):
-    """Box-Muller standard normals from two uniform draws."""
-    u1 = jnp.maximum(_kernel_uniform(shape), jnp.float32(1e-7))
-    u2 = _kernel_uniform(shape)
-    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(jnp.float32(2.0 * 3.14159265) * u2)
+    """Box-Muller standard normals using BOTH outputs of each pair.
+
+    One (u1, u2) uniform pair yields two independent normals
+    ``r·cos(2πu2)`` and ``r·sin(2πu2)`` with ``r = sqrt(-2 log u1)``; drawing
+    half-width uniforms and concatenating the cos/sin halves therefore halves
+    the PRNG volume AND the log/sqrt transcendental count while remaining
+    exactly N(0, 1) iid per element."""
+    rows, cols = shape
+    ch = (cols + 1) // 2
+    u1 = jnp.maximum(_kernel_uniform((rows, ch)), jnp.float32(1e-7))
+    u2 = _kernel_uniform((rows, ch))
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    th = jnp.float32(2.0 * 3.14159265) * u2
+    pair = jnp.concatenate([r * jnp.cos(th), r * jnp.sin(th)], axis=1)
+    return pair if 2 * ch == cols else pair[:, :cols]
 
 
 def _kernel_signs(shape):
@@ -250,6 +261,32 @@ def _kernel_signs(shape):
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     low = pltpu.bitcast(bits & jnp.uint32(1), jnp.int32)
     return 1.0 - 2.0 * low.astype(jnp.float32)
+
+
+def _make_sign_source(rows, refs, n_layers):
+    """Shared Rademacher source: ONE random-bits draw per flipout chain.
+
+    A chain of ``n_layers`` needs ``2·n_layers`` sign matrices of width ≤ the
+    widest layer.  Every bit of a PRNG word is an iid fair coin, so slicing
+    bit ``k`` of a single ``(rows, max_width)`` draw per matrix is
+    distributionally identical to ``2·n_layers`` independent full draws while
+    issuing ~``2·n_layers``× fewer PRNG words (the sign draws dominated the
+    kernel's PRNG volume: rows×(in+out) per layer vs in×out for the weight
+    noise).  Falls back to per-matrix draws past 32 matrices."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    if 2 * n_layers > 32:
+        return lambda k, cols: _kernel_signs((rows, cols))
+    max_w = max(max(refs[2 + 3 * i].shape) for i in range(n_layers))
+    bits = pltpu.bitcast(pltpu.prng_random_bits((rows, max_w)), jnp.uint32)
+
+    def signs(k, cols):
+        sl = bits if cols == max_w else bits[:, :cols]
+        word = sl if k == 0 else sl >> jnp.uint32(k)
+        low = pltpu.bitcast(word & jnp.uint32(1), jnp.int32)
+        return 1.0 - 2.0 * low.astype(jnp.float32)
+
+    return signs
 
 
 def _flipout_chain(h, refs, n_layers):
@@ -263,13 +300,14 @@ def _flipout_chain(h, refs, n_layers):
     refs layout: [gamma_eff, beta, loc0, sig0, b0, loc1, ...].
     """
     h = h * refs[0][:] + refs[1][:]
+    signs = _make_sign_source(h.shape[0], refs, n_layers)
     for i in range(n_layers):
         loc = refs[2 + 3 * i][:]
         sig = refs[2 + 3 * i + 1][:]
         b = refs[2 + 3 * i + 2][:]
         eps = _kernel_normal(loc.shape)
-        r_in = _kernel_signs((h.shape[0], loc.shape[0]))
-        r_out = _kernel_signs((h.shape[0], loc.shape[1]))
+        r_in = signs(2 * i, loc.shape[0])
+        r_out = signs(2 * i + 1, loc.shape[1])
         pert = jnp.dot(h * r_in, sig * eps, preferred_element_type=jnp.float32) * r_out
         h = jnp.dot(h, loc, preferred_element_type=jnp.float32) + b + pert
         if i < n_layers - 1:
@@ -547,14 +585,15 @@ def _flipout_chain_with_tape(h, refs, n_layers):
     per-layer inputs are implicit (recomputable), so we keep the perturbation
     matrices P = sig*eps, the sign pairs, and pre-activations."""
     h = h * refs[0][:] + refs[1][:]
+    signs = _make_sign_source(h.shape[0], refs, n_layers)
     tape = []
     for i in range(n_layers):
         loc = refs[2 + 3 * i][:]
         sig = refs[2 + 3 * i + 1][:]
         b = refs[2 + 3 * i + 2][:]
         P = sig * _kernel_normal(loc.shape)
-        r_in = _kernel_signs((h.shape[0], loc.shape[0]))
-        r_out = _kernel_signs((h.shape[0], loc.shape[1]))
+        r_in = signs(2 * i, loc.shape[0])
+        r_out = signs(2 * i + 1, loc.shape[1])
         pre = (jnp.dot(h, loc, preferred_element_type=jnp.float32) + b
                + jnp.dot(h * r_in, P, preferred_element_type=jnp.float32) * r_out)
         tape.append((loc, P, r_in, r_out, pre))
