@@ -41,6 +41,7 @@ def main():
     p.add_argument("--n_mcmc", type=int, default=2000)
     p.add_argument("--burn_in", type=int, default=2000)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--lr_decay", type=str, default=None)
     args = p.parse_args()
 
     from bayesgm_tpu.models.mnist import MNISTBGM
@@ -49,10 +50,12 @@ def main():
     train, test = imgs[: args.n], imgs[args.n :].copy()
     truth = test.copy()
 
-    model = MNISTBGM(dict(z_dim=10, dataset="mnist_inpaint",
-                          output_dir="/tmp/mnist_inpaint",
-                          save_res=False, save_model=False),
-                     random_seed=args.seed)
+    mparams = dict(z_dim=10, dataset="mnist_inpaint",
+                   output_dir="/tmp/mnist_inpaint",
+                   save_res=False, save_model=False)
+    if args.lr_decay:
+        mparams["lr_decay"] = args.lr_decay
+    model = MNISTBGM(mparams, random_seed=args.seed)
     t0 = time.time()
     model.fit(train, epochs=args.epochs, epochs_per_eval=20,
               use_egm_init=True, egm_n_iter=args.egm,
