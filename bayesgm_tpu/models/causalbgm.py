@@ -1211,7 +1211,8 @@ class CausalBGM:
 
     def predict(self, data, alpha=0.01, n_mcmc=3000, burn_in=5000, x_values=None,
                 q_sd=1.0, sample_y=True, bs=10000, sampler="mh",
-                use_best_nets=False, use_swa_nets=False, mesh=None):
+                use_best_nets=False, use_swa_nets=False, mesh=None,
+                return_diagnostics=False):
         """Causal effects with posterior intervals from latent MCMC
         (reference predict, base.py:573-668).
 
@@ -1221,6 +1222,12 @@ class CausalBGM:
         draws come back to the host.  ``sampler="mala"`` switches to
         gradient-informed Langevin proposals (better mixing on concentrated
         posteriors; not in the reference).
+
+        ``return_diagnostics=True`` appends a third return value: a dict with
+        per-effect-series effective sample size (``ess``), split-R̂
+        (``rhat``) computed on the collected effect draws, and the mean MH
+        acceptance rate — convergence evidence the reference never reports
+        (it prints only the final acceptance, base.py:897-904).
 
         Note: with continuous treatment and ``n_test > bs``, per-batch ADRF
         draws from independent chains are averaged pointwise by draw index —
@@ -1312,29 +1319,55 @@ class CausalBGM:
                     multi_step_fn=multi_step if mesh is None else None,
                     params=params, jit_cache=jit_cache)
             print(f"Final MCMC Acceptance Rate: {float(res.accept_rate):.4f}")
-            return np.asarray(res.samples)
+            return np.asarray(res.samples), float(res.accept_rate)
+
+        accept_rates = []
 
         if cfg.binary_treatment:
             ite_mean = np.zeros(n_test, np.float32)
             upper = np.zeros(n_test, np.float32)
             lower = np.zeros(n_test, np.float32)
+            ess = np.zeros(n_test, np.float32) if return_diagnostics else None
+            rhat = np.zeros(n_test, np.float32) if return_diagnostics else None
             for start in range(0, n_test, bs):
                 end = min(start + bs, n_test)
-                effects = run_batch(data_x[start:end], data_y[start:end], data_v[start:end])
+                effects, rate = run_batch(data_x[start:end], data_y[start:end],
+                                          data_v[start:end])
+                accept_rates.append((rate, end - start))
                 ite_mean[start:end] = effects.mean(axis=0)
                 upper[start:end] = np.quantile(effects, 1 - alpha / 2, axis=0)
                 lower[start:end] = np.quantile(effects, alpha / 2, axis=0)
+                if return_diagnostics:
+                    ess[start:end] = mcmc.effective_sample_size(effects)
+                    rhat[start:end] = mcmc.split_rhat(effects)
+            if return_diagnostics:
+                diag = dict(ess=ess, rhat=rhat,
+                            accept_rate=self._pooled_rate(accept_rates))
+                return ite_mean, np.stack([lower, upper], axis=1), diag
             return ite_mean, np.stack([lower, upper], axis=1)
 
         adrf_sums = np.zeros((len(x_values), n_mcmc), np.float32)
         n_seen = 0
         for start in range(0, n_test, bs):
             end = min(start + bs, n_test)
-            effects = run_batch(data_x[start:end], data_y[start:end], data_v[start:end])
+            effects, rate = run_batch(data_x[start:end], data_y[start:end],
+                                      data_v[start:end])
+            accept_rates.append((rate, end - start))
             adrf_sums += effects.T * (end - start)  # (len(x_values), n_mcmc)
             n_seen += end - start
         causal_effects = adrf_sums / float(n_seen)
         adrf = causal_effects.mean(axis=1)
         upper = np.quantile(causal_effects, 1 - alpha / 2, axis=1)
         lower = np.quantile(causal_effects, alpha / 2, axis=1)
+        if return_diagnostics:
+            diag = dict(ess=mcmc.effective_sample_size(causal_effects, axis=1),
+                        rhat=mcmc.split_rhat(causal_effects, axis=1),
+                        accept_rate=self._pooled_rate(accept_rates))
+            return adrf, np.stack([lower, upper], axis=1), diag
         return adrf, np.stack([lower, upper], axis=1)
+
+    @staticmethod
+    def _pooled_rate(rates):
+        """Subject-weighted mean acceptance over predict batches."""
+        tot = sum(w for _, w in rates)
+        return float(sum(r * w for r, w in rates) / max(tot, 1))

@@ -39,6 +39,7 @@ from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 CHUNK = 500  # steps per jitted scan segment
 
@@ -579,3 +580,86 @@ def adaptive_mala(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000
     stacked = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *chunks) \
         if len(chunks) > 1 else chunks[0]
     return MHResult(samples=stacked, q_sd=carry[3], accept_rate=rate)
+
+
+# ---------------------------------------------------------------------------
+# Convergence diagnostics (beyond-reference: the reference reports only the
+# final acceptance rate, causalbgm/base.py:897-904).  Host-side numpy over
+# the collected draws — n_keep x dims arrays are small next to the chains.
+# ---------------------------------------------------------------------------
+
+
+def _autocovariance(x):
+    """Per-column biased autocovariance of ``x (n, m)`` via FFT."""
+    n = x.shape[0]
+    xc = x - x.mean(axis=0)
+    nfft = 1 << int(2 * n - 1).bit_length()
+    f = np.fft.rfft(xc, n=nfft, axis=0)
+    acov = np.fft.irfft(f * np.conj(f), n=nfft, axis=0)[:n].real
+    return acov / n
+
+
+def effective_sample_size(draws, axis=0):
+    """Effective sample size per series (Geyer initial positive sequence).
+
+    ``draws`` has the MCMC draw axis at ``axis``; every other axis indexes an
+    independent series (e.g. per-subject effect draws).  The integrated
+    autocorrelation time sums paired autocorrelations Γ_k = ρ_{2k} + ρ_{2k+1}
+    while the pairs stay positive and monotonically decreasing (the standard
+    single-chain estimator).  Returns an array shaped like ``draws`` without
+    the draw axis; constant series report the full draw count.
+    """
+    x = np.moveaxis(np.asarray(draws, np.float64), axis, 0)
+    n = x.shape[0]
+    shape = x.shape[1:]
+    x = x.reshape(n, -1)
+    if n < 4:
+        return np.full(shape, float(n))
+    acov = _autocovariance(x)
+    var = acov[0]
+    ok = var > 0
+    rho = acov / np.where(ok, var, 1.0)
+    n_pairs = (n - 2) // 2
+    gamma = rho[1 : 1 + 2 * n_pairs : 2] + rho[2 : 2 + 2 * n_pairs : 2]
+    pos = gamma > 0
+    alive = np.logical_and.accumulate(pos, axis=0)
+    gamma = np.where(alive, gamma, 0.0)
+    gamma = np.minimum.accumulate(np.where(alive, gamma, np.inf), axis=0)
+    gamma = np.where(alive, gamma, 0.0)
+    tau = 1.0 + 2.0 * gamma.sum(axis=0)  # includes lag-0 (rho_0 = 1)
+    ess = np.where(ok, n / np.maximum(tau, 1.0 / n), float(n))
+    return np.clip(ess, 1.0, float(n)).reshape(shape)
+
+
+def split_rhat(draws, axis=0):
+    """Split-R̂ (Gelman–Rubin on the two halves of each chain).
+
+    Values near 1 indicate the first and second half of the chain agree in
+    mean and variance; > ~1.01 flags non-convergence.  Same shape contract
+    as :func:`effective_sample_size`; constant series report 1.0.
+    """
+    x = np.moveaxis(np.asarray(draws, np.float64), axis, 0)
+    n = x.shape[0]
+    shape = x.shape[1:]
+    x = x.reshape(n, -1)
+    half = n // 2
+    if half < 2:
+        return np.ones(shape)
+    chains = np.stack([x[:half], x[n - half :]])  # (2, half, m)
+    W = chains.var(axis=1, ddof=1).mean(axis=0)
+    B = half * chains.mean(axis=1).var(axis=0, ddof=1)
+    var_plus = (half - 1) / half * W + B / half
+    ok = W > 0
+    rhat = np.sqrt(var_plus / np.where(ok, W, 1.0))
+    return np.where(ok, rhat, 1.0).reshape(shape)
+
+
+def chain_diagnostics(draws, axis=0, accept_rate=None):
+    """Bundle ESS + split-R̂ (+ acceptance) for a block of chain draws."""
+    out = {
+        "ess": effective_sample_size(draws, axis=axis),
+        "rhat": split_rhat(draws, axis=axis),
+    }
+    if accept_rate is not None:
+        out["accept_rate"] = float(accept_rate)
+    return out

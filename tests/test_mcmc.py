@@ -217,3 +217,39 @@ def test_adaptive_mh_multi_step_adapts_q_sd():
                            recompute_current=True, params={},
                            multi_step_fn=_plain_multi_step(lp, 50))
     assert float(res.q_sd) < 0.5
+
+
+def test_effective_sample_size_iid_and_correlated():
+    rng = np.random.RandomState(0)
+    n, m = 3000, 6
+    iid = rng.randn(n, m)
+    ess = mcmc.effective_sample_size(iid)
+    assert ess.shape == (m,)
+    assert np.all(ess > 0.7 * n)
+    # AR(1) rho=0.9: ESS/n ~ (1-rho)/(1+rho) = 0.053
+    ar = np.zeros((n, m))
+    eps = rng.randn(n, m) * np.sqrt(1 - 0.81)
+    for t in range(1, n):
+        ar[t] = 0.9 * ar[t - 1] + eps[t]
+    ess_ar = mcmc.effective_sample_size(ar)
+    assert np.all(ess_ar / n < 0.15) and np.all(ess_ar / n > 0.02)
+    # constant series: full draw count, no NaNs
+    assert np.all(mcmc.effective_sample_size(np.ones((n, 2))) == n)
+    # axis contract
+    assert mcmc.effective_sample_size(np.moveaxis(iid, 0, 1), axis=1).shape == (m,)
+
+
+def test_split_rhat_flags_nonstationary_chain():
+    rng = np.random.RandomState(1)
+    n, m = 2000, 4
+    good = rng.randn(n, m)
+    assert np.all(np.abs(mcmc.split_rhat(good) - 1.0) < 0.01)
+    drifted = np.concatenate([good[: n // 2], 5.0 + good[n // 2 :]])
+    assert np.all(mcmc.split_rhat(drifted) > 1.5)
+    assert np.all(mcmc.split_rhat(np.ones((n, 2))) == 1.0)
+
+
+def test_chain_diagnostics_bundle():
+    x = np.random.RandomState(2).randn(500, 3)
+    d = mcmc.chain_diagnostics(x, accept_rate=0.25)
+    assert set(d) == {"ess", "rhat", "accept_rate"} and d["accept_rate"] == 0.25

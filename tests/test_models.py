@@ -233,3 +233,33 @@ def test_bgm_family_lr_decay_runs_and_scales_updates(tmp_path):
         m.fit(data, epochs=3, use_egm_init=False, verbose=0, epochs_per_eval=10**9)
         outs[decay] = jax.tree.leaves(m.nets["g"])[0]
     assert not np.allclose(np.asarray(outs[None]), np.asarray(outs["cosine"]))
+
+
+def test_causalbgm_predict_diagnostics(causal_data, tmp_path):
+    """return_diagnostics=True appends ESS / split-Rhat / acceptance."""
+    x, y, v = causal_data
+    m = CausalBGM(_causal_params(tmpdir=str(tmp_path)), random_seed=9)
+    m.fit((x, y, v), epochs=2, epochs_per_eval=2, batch_size=16,
+          use_egm_init=False, verbose=0)
+    adrf, ci, diag = m.predict((x, y, v), alpha=0.1, n_mcmc=50, burn_in=50,
+                               x_values=[0.5, 1.5], return_diagnostics=True)
+    assert adrf.shape == (2,) and ci.shape == (2, 2)
+    assert diag["ess"].shape == (2,) and diag["rhat"].shape == (2,)
+    assert np.all(diag["ess"] >= 1.0) and np.all(diag["ess"] <= 50.0)
+    assert np.all(np.isfinite(diag["rhat"]))
+    assert 0.0 <= diag["accept_rate"] <= 1.0
+
+    # binary path with subject batching (n > bs) pools acceptance by weight
+    rng = np.random.RandomState(4)
+    n, v_dim = 60, 5
+    vb = rng.randn(n, v_dim).astype("float32")
+    xb = (rng.rand(n, 1) < 0.5).astype("float32")
+    yb = (xb + vb[:, :1]).astype("float32")
+    mb = CausalBGM(_causal_params(v_dim=v_dim, tmpdir=str(tmp_path),
+                                  binary_treatment=True), random_seed=5)
+    mb.fit((xb, yb, vb), epochs=1, epochs_per_eval=1, batch_size=16,
+           use_egm_init=False, verbose=0)
+    ite, ci, diag = mb.predict((xb, yb, vb), alpha=0.1, n_mcmc=40, burn_in=40,
+                               bs=32, return_diagnostics=True)
+    assert ite.shape == (n,) and diag["ess"].shape == (n,)
+    assert diag["rhat"].shape == (n,) and 0.0 <= diag["accept_rate"] <= 1.0
