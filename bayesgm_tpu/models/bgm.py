@@ -705,7 +705,7 @@ class BGM:
 
     def predict(self, data, alpha=0.05, return_samples=False, bs=100, n_mcmc=5000,
                 burn_in=5000, step_size=0.01, num_leapfrog_steps=10, seed=42,
-                mesh=None):
+                mesh=None, return_diagnostics=False):
         """Posterior prediction with NaN-encoded missing data (reference
         bgm/base.py:527-663).
 
@@ -716,6 +716,11 @@ class BGM:
         (reference contract bgm/base.py:630): per-sample posterior
         statistics are exact under batching since every chain is independent;
         batching bounds the host-side (n_mcmc, bs, x_dim) sample cube.
+
+        ``return_diagnostics=True`` appends a dict with effective sample
+        size and split-R̂ of the posterior-predictive draw series at every
+        MISSING entry ((n, x_dim) arrays, NaN at observed entries) —
+        convergence evidence the reference never reports.
         """
         assert 0 < alpha < 1, "The significance level 'alpha' must be greater than 0 and less than 1."
         data_np = np.asarray(data, np.float32)
@@ -768,8 +773,22 @@ class BGM:
                 upper_i = np.quantile(dim_samples_i, 1.0 - alpha / 2.0, axis=0)
                 pred_interval.append(np.stack([lower_i, upper_i], axis=-1))
 
+        diag = None
+        if return_diagnostics:
+            ess = np.full(miss_mask.shape, np.nan, np.float64)
+            rhat = np.full(miss_mask.shape, np.nan, np.float64)
+            if miss_mask.any():
+                series = data_x_pred_all[:, miss_mask]  # (n_mcmc, n_missing)
+                ess[miss_mask] = mcmc.effective_sample_size(series)
+                rhat[miss_mask] = mcmc.split_rhat(series)
+            diag = dict(ess=ess, rhat=rhat)
+
         if return_samples:
+            if return_diagnostics:
+                return data_x_pred_all, pred_interval, diag
             return data_x_pred_all, pred_interval
         data_imputed = data_x_pred_all.mean(axis=0)
         data_imputed = np.where(miss_mask, data_imputed, data_clean)
+        if return_diagnostics:
+            return data_imputed, pred_interval, diag
         return data_imputed, pred_interval

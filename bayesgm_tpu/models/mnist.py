@@ -521,11 +521,14 @@ class MNISTBGM(BGM):
 
     def predict(self, data, alpha=0.05, return_samples=False, bs=100, n_mcmc=5000,
                 burn_in=5000, step_size=0.01, num_leapfrog_steps=10, seed=42,
-                mesh=None):
+                mesh=None, return_diagnostics=False):
         """Pixel-level inpainting with NaN-encoded missing pixels
         (mnist.py:467-613).  Subjects run in batches of ``bs`` — each image's
         chain is independent, so batching is exact for per-pixel statistics
-        and bounds the host-side (n_mcmc, bs, 784) sample cube."""
+        and bounds the host-side (n_mcmc, bs, 784) sample cube.
+
+        ``return_diagnostics=True`` appends a dict of ESS / split-R̂ arrays
+        (image-shaped, NaN at observed pixels)."""
         assert 0 < alpha < 1, "The significance level 'alpha' must be greater than 0 and less than 1."
         data_np = np.asarray(data, np.float32)
         n = data_np.shape[0]
@@ -576,8 +579,22 @@ class MNISTBGM(BGM):
                 upper_i = np.quantile(pix_i, 1.0 - alpha / 2.0, axis=0)
                 pred_interval.append(np.stack([lower_i, upper_i], axis=-1))
 
+        diag = None
+        if return_diagnostics:
+            ess = np.full(is_nan.shape, np.nan, np.float64)
+            rhat = np.full(is_nan.shape, np.nan, np.float64)
+            if is_nan.any():
+                series = flat_pred[:, miss_flat]  # (n_mcmc, n_missing_pixels)
+                ess[is_nan] = mcmc.effective_sample_size(series)
+                rhat[is_nan] = mcmc.split_rhat(series)
+            diag = dict(ess=ess, rhat=rhat)
+
         if return_samples:
+            if return_diagnostics:
+                return data_x_pred_all, pred_interval, diag
             return data_x_pred_all, pred_interval
         data_imputed = data_x_pred_all.mean(axis=0)
         data_imputed = np.where(is_nan, data_imputed, data_clean)
+        if return_diagnostics:
+            return data_imputed, pred_interval, diag
         return data_imputed, pred_interval

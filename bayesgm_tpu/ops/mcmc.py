@@ -615,20 +615,22 @@ def effective_sample_size(draws, axis=0):
     x = x.reshape(n, -1)
     if n < 4:
         return np.full(shape, float(n))
-    acov = _autocovariance(x)
-    var = acov[0]
-    ok = var > 0
-    rho = acov / np.where(ok, var, 1.0)
-    n_pairs = (n - 2) // 2
-    gamma = rho[1 : 1 + 2 * n_pairs : 2] + rho[2 : 2 + 2 * n_pairs : 2]
-    pos = gamma > 0
-    alive = np.logical_and.accumulate(pos, axis=0)
-    gamma = np.where(alive, gamma, 0.0)
-    gamma = np.minimum.accumulate(np.where(alive, gamma, np.inf), axis=0)
-    gamma = np.where(alive, gamma, 0.0)
-    tau = 1.0 + 2.0 * gamma.sum(axis=0)  # includes lag-0 (rho_0 = 1)
-    ess = np.where(ok, n / np.maximum(tau, 1.0 / n), float(n))
-    return np.clip(ess, 1.0, float(n)).reshape(shape)
+    out = np.empty(x.shape[1])
+    for c0 in range(0, x.shape[1], 8192):  # bound the FFT workspace
+        xb = x[:, c0 : c0 + 8192]
+        acov = _autocovariance(xb)
+        var = acov[0]
+        ok = var > 0
+        rho = acov / np.where(ok, var, 1.0)
+        n_pairs = (n - 2) // 2
+        gamma = rho[1 : 1 + 2 * n_pairs : 2] + rho[2 : 2 + 2 * n_pairs : 2]
+        alive = np.logical_and.accumulate(gamma > 0, axis=0)
+        gamma = np.minimum.accumulate(np.where(alive, gamma, np.inf), axis=0)
+        gamma = np.where(alive, gamma, 0.0)
+        tau = 1.0 + 2.0 * gamma.sum(axis=0)  # includes lag-0 (rho_0 = 1)
+        ess = np.where(ok, n / np.maximum(tau, 1.0 / n), float(n))
+        out[c0 : c0 + 8192] = np.clip(ess, 1.0, float(n))
+    return out.reshape(shape)
 
 
 def split_rhat(draws, axis=0):

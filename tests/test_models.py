@@ -172,6 +172,14 @@ def test_bgm_full_lifecycle(bgm_data, tmp_path):
     cube, _ = m.predict(test, n_mcmc=20, burn_in=30, return_samples=True)
     assert cube.shape == (20, 10, 4)
 
+    # diagnostics: ESS/Rhat at missing entries only
+    imputed, _, diag = m.predict(test, alpha=0.2, n_mcmc=20, burn_in=30,
+                                 return_diagnostics=True)
+    assert diag["ess"].shape == (10, 4) and diag["rhat"].shape == (10, 4)
+    assert np.all(np.isfinite(diag["ess"][:, 1]))
+    assert np.all(np.isnan(diag["ess"][:, 0]))
+    assert np.all(np.isfinite(diag["rhat"][:, 1]))
+
 
 def test_bgm_ragged_missing_pattern(bgm_data, tmp_path):
     data = bgm_data

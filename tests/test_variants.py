@@ -139,6 +139,14 @@ def test_mnistbgm_lifecycle(mnist_like_data, tmp_path):
     np.testing.assert_allclose(imputed.reshape(4, -1)[:, obs],
                                data[:4].reshape(4, -1)[:, obs], rtol=1e-5)
 
+    # diagnostics carry image shape with NaN at observed pixels
+    _, _, diag = m.predict(test, alpha=0.2, n_mcmc=10, burn_in=20,
+                           return_diagnostics=True)
+    assert diag["ess"].shape == (4, 28, 28, 1)
+    flat_ess = diag["ess"].reshape(4, -1)
+    assert np.all(np.isfinite(flat_ess[:, miss]))
+    assert np.all(np.isnan(flat_ess[:, obs]))
+
 
 def test_mnistbgm_bnn_generator_stochastic(tmp_path):
     m = MNISTBGM(dict(x_dim=784, z_dim=4, dataset="unit", output_dir=str(tmp_path),
