@@ -53,6 +53,12 @@ def test_identifiable_lifecycle(causal_data, tmp_path):
     assert adrf.shape == (2,) and ci.shape == (2, 2)
     assert np.all(ci[:, 0] <= ci[:, 1])
 
+    # diagnostics mirror the CausalBGM contract
+    adrf, ci, diag = m.predict((x, y, v), alpha=0.1, n_mcmc=30, burn_in=30,
+                               x_values=[0.5, 1.0], return_diagnostics=True)
+    assert diag["ess"].shape == (2,) and diag["rhat"].shape == (2,)
+    assert 0.0 <= diag["accept_rate"] <= 1.0
+
 
 def test_identifiable_conditional_prior_matters(causal_data, tmp_path):
     x, y, v = causal_data
