@@ -280,9 +280,12 @@ class FullMCMCCausalBGM(cb.CausalBGM):
         return np.concatenate(outs, axis=0)
 
     def predict(self, data, alpha=0.01, n_mcmc=3000, burn_in=5000, x_values=None,
-                q_sd=1.0, sample_y=True, bs=10000):
+                q_sd=1.0, sample_y=True, bs=10000, return_diagnostics=False):
         """Causal effects marginalising over weight AND latent uncertainty
-        (fullmcmc.py:184-281)."""
+        (fullmcmc.py:184-281).  ``return_diagnostics=True`` appends
+        ESS / split-R-hat of the effect draw series (weight-redraw noise is
+        part of each series, so ESS here reflects the PAIRED weight+latent
+        chain)."""
         assert 0 < alpha < 1, "The significance level 'alpha' must be greater than 0 and less than 1."
         assert self.f_net_samples is not None, "Run run_mcmc_training() first."
         cfg = self.cfg
@@ -301,4 +304,8 @@ class FullMCMCCausalBGM(cb.CausalBGM):
         point = effects.mean(axis=0)
         upper = np.quantile(effects, 1 - alpha / 2, axis=0)
         lower = np.quantile(effects, alpha / 2, axis=0)
+        if return_diagnostics:
+            diag = dict(ess=mcmc.effective_sample_size(effects),
+                        rhat=mcmc.split_rhat(effects))
+            return point, np.stack([lower, upper], axis=1), diag
         return point, np.stack([lower, upper], axis=1)
