@@ -43,13 +43,16 @@ def main(n=2048, v_dim=200, K=200):
     xs, ys, vs = (jnp.asarray(a) for a in (x, y, v))
     zs = jax.random.normal(jax.random.PRNGKey(0), (n, sum(cfg.z_dims)))
 
-    fused = pk.make_fused_causal_logp_bnn(cfg, *dims)
+    fused_raw = pk.make_fused_causal_logp_bnn(cfg, *dims)
+    # jit once with the seed as an argument: repeated draws reuse ONE
+    # compiled program each (re-tracing a pallas_call per draw costs seconds
+    # per call through the remote-compile tunnel).
+    fused = jax.jit(lambda seed: fused_raw(zs, xs, ys, vs, seed, gf, hf, ff))
     xla = jax.jit(lambda key: cb._neg_log_posterior_rows(
         cfg, m.nets, zs, xs, ys, vs, key))
 
-    a = np.stack([np.asarray(fused(zs, xs, ys, vs,
-                                   pk.key_to_seed(jax.random.PRNGKey(100 + i)),
-                                   gf, hf, ff)) for i in range(K)])
+    a = np.stack([np.asarray(fused(pk.key_to_seed(jax.random.PRNGKey(100 + i))))
+                  for i in range(K)])
     b = np.stack([np.asarray(xla(jax.random.PRNGKey(500 + i)))
                   for i in range(K)])
 
