@@ -1050,8 +1050,14 @@ class CausalBGM:
                 f"({type(e).__name__}: {e}); using the XLA composite.")
             return xla_log_prob
 
-    def _make_param_log_prob(self):
+    def _make_param_log_prob(self, prefer_xla=False):
         """Params-mode MH target for ``ops.mcmc.adaptive_mh(params=...)``.
+
+        ``prefer_xla=True`` skips the Pallas kernels and returns the XLA
+        composite even on TPU — used for mesh-sharded predict, where a
+        ``pallas_call`` inside the jitted chain has no SPMD partitioning
+        rule (GSPMD cannot shard an opaque custom call; the XLA composite
+        partitions row-wise automatically).
 
         Returns ``(lp, plp, make_params, make_multi_step)``:
 
@@ -1083,7 +1089,7 @@ class CausalBGM:
         def make_params(nets, data, paired):
             x, y, v = (jnp.asarray(a, jnp.float32) for a in data)
             p = {"nets": nets, "data": (x, y, v)}
-            if pk.on_tpu():
+            if pk.on_tpu() and not prefer_xla:
                 flatten = (pk.flatten_flipout_params if cfg.use_bnn
                            else pk.flatten_mlp_params)
                 p["flat"] = (flatten(nets["g"]), flatten(nets["h"]),
@@ -1093,7 +1099,7 @@ class CausalBGM:
                                    for a in (x, y, v))
             return p
 
-        if cfg.use_bnn and pk.on_tpu():
+        if cfg.use_bnn and pk.on_tpu() and not prefer_xla:
             try:
                 dims = (pk.flipout_mlp_layer_dims(self.nets["g"]),
                         pk.flipout_mlp_layer_dims(self.nets["h"]),
@@ -1136,7 +1142,7 @@ class CausalBGM:
                     f"Fused BNN Pallas log-posterior unavailable "
                     f"({type(e).__name__}: {e}); using the XLA composite.")
 
-        elif pk.on_tpu():
+        elif pk.on_tpu() and not prefer_xla:
             # Non-Bayesian nets: deterministic fused kernel (no key use), one
             # launch per evaluation; pairing is moot since recompute_current
             # is off for deterministic targets.
@@ -1278,7 +1284,8 @@ class CausalBGM:
             # predict (and every same-shape batch) reuses one compiled chain
             # program — no per-call retrace; BNN steps evaluate proposed +
             # current in ONE stacked fused-kernel launch (plp).
-            lp, plp, make_params, make_multi_step = self._make_param_log_prob()
+            lp, plp, make_params, make_multi_step = self._make_param_log_prob(
+                prefer_xla=mesh is not None)
             # K-steps-per-launch burn-in kernel: measured SLOWER than the
             # paired per-step path on the v5e (two serialized n-row evals per
             # step pipeline worse than one flat 2n-row launch; RESULTS.md) —
@@ -1290,7 +1297,7 @@ class CausalBGM:
             collect_p = _effect_collector_p(cfg, x_values, sample_y)
             xv_key = None if x_values is None else tuple(np.asarray(x_values).tolist())
             jit_cache = self._jit_cache(
-                ("mh_chain_jit", xv_key, bool(sample_y)), dict)
+                ("mh_chain_jit", xv_key, bool(sample_y), mesh is not None), dict)
         else:
             collect = _effect_collector(cfg, nets, x_values, sample_y)
 
