@@ -253,3 +253,14 @@ def test_chain_diagnostics_bundle():
     x = np.random.RandomState(2).randn(500, 3)
     d = mcmc.chain_diagnostics(x, accept_rate=0.25)
     assert set(d) == {"ess", "rhat", "accept_rate"} and d["accept_rate"] == 0.25
+
+
+def test_effective_sample_size_chunk_boundary():
+    """Column-chunked FFT path (>8192 series) matches the single-chunk path."""
+    rng = np.random.RandomState(3)
+    x = rng.randn(200, 9000)
+    ess = mcmc.effective_sample_size(x)
+    assert ess.shape == (9000,)
+    # same values whether a column lands in chunk 1 or 2
+    ref = mcmc.effective_sample_size(x[:, 8190:8194])
+    np.testing.assert_allclose(ess[8190:8194], ref, rtol=1e-10)
