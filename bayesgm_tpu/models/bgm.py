@@ -779,8 +779,9 @@ class BGM:
             rhat = np.full(miss_mask.shape, np.nan, np.float64)
             if miss_mask.any():
                 series = data_x_pred_all[:, miss_mask]  # (n_mcmc, n_missing)
-                ess[miss_mask] = mcmc.effective_sample_size(series)
-                rhat[miss_mask] = mcmc.split_rhat(series)
+                d = mcmc.chain_diagnostics(series)
+                ess[miss_mask] = d["ess"]
+                rhat[miss_mask] = d["rhat"]
             diag = dict(ess=ess, rhat=rhat)
 
         if return_samples:

@@ -939,14 +939,16 @@ class CausalBGM:
         args = [jnp.asarray(a, jnp.float32) for a in (data_x, data_y, data_v, data_z)]
         return -_neg_log_posterior_rows(self.cfg, self.nets, args[3], args[0], args[1], args[2], key)
 
-    def _make_log_prob(self, data_x, data_y, data_v, differentiable=False, nets=None):
+    def _make_log_prob(self, data_x, data_y, data_v, differentiable=False, nets=None,
+                       prefer_xla=False):
         """MH log-target over Z.  Non-Bayesian nets on TPU use the fully
         fused Pallas kernel (ops/pallas_kernels.py, ~1.7x the XLA path);
         flipout nets and CPU runs use the XLA composite.  With
         ``differentiable=True`` the fused forward is wrapped in a custom VJP
         whose backward differentiates the XLA composite (the hand-written
         kernel defines no VJP), so gradient-based samplers still get the fast
-        forward."""
+        forward.  ``prefer_xla=True`` forces the composite even on TPU
+        (mesh-sharded chains: GSPMD cannot partition a pallas_call)."""
         cfg = self.cfg
         nets = self.nets if nets is None else nets
 
@@ -954,6 +956,9 @@ class CausalBGM:
             return -_neg_log_posterior_rows(cfg, nets, z, data_x, data_y, data_v, key)
 
         from bayesgm_tpu.ops import pallas_kernels as pk
+
+        if prefer_xla:
+            return xla_log_prob
 
         if cfg.use_bnn:
             # Default configuration: the flipout posterior runs in the fused
@@ -1312,7 +1317,8 @@ class CausalBGM:
                 # Gradient-informed Langevin proposals (beyond-reference):
                 # adapts toward the MALA-optimal ~0.574 acceptance.
                 log_prob = self._make_log_prob(bx, by, bv, differentiable=True,
-                                               nets=nets)
+                                               nets=nets,
+                                               prefer_xla=mesh is not None)
                 res = mcmc.adaptive_mala(
                     log_prob, init, self._next_key(), burn_in=burn_in,
                     n_keep=n_mcmc, step_size=0.1, collect=collect)
@@ -1328,9 +1334,21 @@ class CausalBGM:
             print(f"Final MCMC Acceptance Rate: {float(res.accept_rate):.4f}")
             return np.asarray(res.samples), float(res.accept_rate)
 
+        return self._aggregate_predict(run_batch, (data_x, data_y, data_v),
+                                       alpha, n_mcmc, bs, x_values,
+                                       return_diagnostics)
+
+    def _aggregate_predict(self, run_batch, data, alpha, n_mcmc, bs, x_values,
+                           return_diagnostics):
+        """Shared predict aggregation (base + identifiable): batch subjects
+        through ``run_batch -> (effect_draws, accept_rate)``, assemble the
+        point estimate + ``[alpha/2, 1-alpha/2]`` intervals, and optionally
+        the ESS / split-R̂ / pooled-acceptance diagnostics."""
+        data_x, data_y, data_v = data
+        n_test = len(data_x)
         accept_rates = []
 
-        if cfg.binary_treatment:
+        if self.cfg.binary_treatment:
             ite_mean = np.zeros(n_test, np.float32)
             upper = np.zeros(n_test, np.float32)
             lower = np.zeros(n_test, np.float32)
@@ -1345,8 +1363,9 @@ class CausalBGM:
                 upper[start:end] = np.quantile(effects, 1 - alpha / 2, axis=0)
                 lower[start:end] = np.quantile(effects, alpha / 2, axis=0)
                 if return_diagnostics:
-                    ess[start:end] = mcmc.effective_sample_size(effects)
-                    rhat[start:end] = mcmc.split_rhat(effects)
+                    d = mcmc.chain_diagnostics(effects)
+                    ess[start:end] = d["ess"]
+                    rhat[start:end] = d["rhat"]
             if return_diagnostics:
                 diag = dict(ess=ess, rhat=rhat,
                             accept_rate=self._pooled_rate(accept_rates))
@@ -1367,9 +1386,9 @@ class CausalBGM:
         upper = np.quantile(causal_effects, 1 - alpha / 2, axis=1)
         lower = np.quantile(causal_effects, alpha / 2, axis=1)
         if return_diagnostics:
-            diag = dict(ess=mcmc.effective_sample_size(causal_effects, axis=1),
-                        rhat=mcmc.split_rhat(causal_effects, axis=1),
-                        accept_rate=self._pooled_rate(accept_rates))
+            diag = mcmc.chain_diagnostics(
+                causal_effects, axis=1,
+                accept_rate=self._pooled_rate(accept_rates))
             return adrf, np.stack([lower, upper], axis=1), diag
         return adrf, np.stack([lower, upper], axis=1)
 

@@ -305,7 +305,6 @@ class FullMCMCCausalBGM(cb.CausalBGM):
         upper = np.quantile(effects, 1 - alpha / 2, axis=0)
         lower = np.quantile(effects, alpha / 2, axis=0)
         if return_diagnostics:
-            diag = dict(ess=mcmc.effective_sample_size(effects),
-                        rhat=mcmc.split_rhat(effects))
+            diag = mcmc.chain_diagnostics(effects)
             return point, np.stack([lower, upper], axis=1), diag
         return point, np.stack([lower, upper], axis=1)

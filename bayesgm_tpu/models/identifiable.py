@@ -426,47 +426,6 @@ class IdentifiableCausalBGM(cb.CausalBGM):
             print(f"Final MCMC Acceptance Rate: {float(res.accept_rate):.4f}")
             return np.asarray(res.samples), float(res.accept_rate)
 
-        accept_rates = []
-
-        if cfg.binary_treatment:
-            ite_mean = np.zeros(n_test, np.float32)
-            upper = np.zeros(n_test, np.float32)
-            lower = np.zeros(n_test, np.float32)
-            ess = np.zeros(n_test, np.float32) if return_diagnostics else None
-            rhat = np.zeros(n_test, np.float32) if return_diagnostics else None
-            for start in range(0, n_test, bs):
-                end = min(start + bs, n_test)
-                effects, rate = run_batch(data_x[start:end], data_y[start:end],
-                                          data_v[start:end])
-                accept_rates.append((rate, end - start))
-                ite_mean[start:end] = effects.mean(axis=0)
-                upper[start:end] = np.quantile(effects, 1 - alpha / 2, axis=0)
-                lower[start:end] = np.quantile(effects, alpha / 2, axis=0)
-                if return_diagnostics:
-                    ess[start:end] = mcmc.effective_sample_size(effects)
-                    rhat[start:end] = mcmc.split_rhat(effects)
-            if return_diagnostics:
-                diag = dict(ess=ess, rhat=rhat,
-                            accept_rate=cb.CausalBGM._pooled_rate(accept_rates))
-                return ite_mean, np.stack([lower, upper], axis=1), diag
-            return ite_mean, np.stack([lower, upper], axis=1)
-
-        adrf_sums = np.zeros((len(x_values), n_mcmc), np.float32)
-        n_seen = 0
-        for start in range(0, n_test, bs):
-            end = min(start + bs, n_test)
-            effects, rate = run_batch(data_x[start:end], data_y[start:end],
-                                      data_v[start:end])
-            accept_rates.append((rate, end - start))
-            adrf_sums += effects.T * (end - start)
-            n_seen += end - start
-        causal_effects = adrf_sums / float(n_seen)
-        adrf = causal_effects.mean(axis=1)
-        upper = np.quantile(causal_effects, 1 - alpha / 2, axis=1)
-        lower = np.quantile(causal_effects, alpha / 2, axis=1)
-        if return_diagnostics:
-            diag = dict(ess=mcmc.effective_sample_size(causal_effects, axis=1),
-                        rhat=mcmc.split_rhat(causal_effects, axis=1),
-                        accept_rate=cb.CausalBGM._pooled_rate(accept_rates))
-            return adrf, np.stack([lower, upper], axis=1), diag
-        return adrf, np.stack([lower, upper], axis=1)
+        return self._aggregate_predict(run_batch, (data_x, data_y, data_v),
+                                       alpha, n_mcmc, bs, x_values,
+                                       return_diagnostics)

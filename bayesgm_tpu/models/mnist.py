@@ -585,8 +585,9 @@ class MNISTBGM(BGM):
             rhat = np.full(is_nan.shape, np.nan, np.float64)
             if is_nan.any():
                 series = flat_pred[:, miss_flat]  # (n_mcmc, n_missing_pixels)
-                ess[is_nan] = mcmc.effective_sample_size(series)
-                rhat[is_nan] = mcmc.split_rhat(series)
+                d = mcmc.chain_diagnostics(series)
+                ess[is_nan] = d["ess"]
+                rhat[is_nan] = d["rhat"]
             diag = dict(ess=ess, rhat=rhat)
 
         if return_samples:

@@ -614,13 +614,17 @@ def effective_sample_size(draws, axis=0):
     shape = x.shape[1:]
     x = x.reshape(n, -1)
     if n < 4:
-        return np.full(shape, float(n))
+        return np.where(np.isfinite(x).all(axis=0), float(n), np.nan).reshape(shape)
     out = np.empty(x.shape[1])
-    for c0 in range(0, x.shape[1], 8192):  # bound the FFT workspace
-        xb = x[:, c0 : c0 + 8192]
+    # Bound the FFT workspace: the dominant transient is the complex128
+    # rfft output (nfft/2+1, cols) x 16 B; cap it near 256 MB per chunk.
+    nfft = 1 << int(2 * n - 1).bit_length()
+    chunk = int(np.clip((1 << 28) // (nfft * 16), 128, 8192))
+    for c0 in range(0, x.shape[1], chunk):
+        xb = x[:, c0 : c0 + chunk]
         acov = _autocovariance(xb)
         var = acov[0]
-        ok = var > 0
+        ok = var > 0  # False for constant AND for NaN-contaminated series
         rho = acov / np.where(ok, var, 1.0)
         n_pairs = (n - 2) // 2
         gamma = rho[1 : 1 + 2 * n_pairs : 2] + rho[2 : 2 + 2 * n_pairs : 2]
@@ -629,7 +633,10 @@ def effective_sample_size(draws, axis=0):
         gamma = np.where(alive, gamma, 0.0)
         tau = 1.0 + 2.0 * gamma.sum(axis=0)  # includes lag-0 (rho_0 = 1)
         ess = np.where(ok, n / np.maximum(tau, 1.0 / n), float(n))
-        out[c0 : c0 + 8192] = np.clip(ess, 1.0, float(n))
+        ess = np.clip(ess, 1.0, float(n))
+        # A diverged chain (NaN/inf draws) must not masquerade as perfectly
+        # mixed: propagate NaN instead of the constant-series fast path.
+        out[c0 : c0 + chunk] = np.where(np.isfinite(xb).all(axis=0), ess, np.nan)
     return out.reshape(shape)
 
 
@@ -646,14 +653,20 @@ def split_rhat(draws, axis=0):
     x = x.reshape(n, -1)
     half = n // 2
     if half < 2:
-        return np.ones(shape)
+        return np.where(np.isfinite(x).all(axis=0), 1.0, np.nan).reshape(shape)
     chains = np.stack([x[:half], x[n - half :]])  # (2, half, m)
     W = chains.var(axis=1, ddof=1).mean(axis=0)
     B = half * chains.mean(axis=1).var(axis=0, ddof=1)
     var_plus = (half - 1) / half * W + B / half
     ok = W > 0
     rhat = np.sqrt(var_plus / np.where(ok, W, 1.0))
-    return np.where(ok, rhat, 1.0).reshape(shape)
+    # W == 0 with B > 0 is the WORST non-convergence (each half stuck at a
+    # different value, e.g. a saturated decode that jumps) -> inf, not 1.0;
+    # W == B == 0 is a genuinely constant chain -> 1.0; NaN draws -> NaN.
+    stuck_diverged = (~ok) & (B > 0)
+    rhat = np.where(ok, rhat, np.where(stuck_diverged, np.inf, 1.0))
+    rhat = np.where(np.isfinite(x).all(axis=0), rhat, np.nan)
+    return rhat.reshape(shape)
 
 
 def chain_diagnostics(draws, axis=0, accept_rate=None):

@@ -173,12 +173,14 @@ def _load_mnist_images():
     except Exception:
         print("MNIST unavailable (no local npz, no egress); "
               "using seeded synthetic ellipse images.")
-        import sys
+        import importlib.util
 
-        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "benchmarks"))
-        from mnist_inpaint import make_ellipse_images
-
-        return make_ellipse_images(8192, seed=0)
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", "mnist_inpaint.py")
+        spec = importlib.util.spec_from_file_location("_bgm_mnist_inpaint", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.make_ellipse_images(8192, seed=0)
 
 
 def run_mnist(params, epochs, egm_iters):

@@ -247,6 +247,13 @@ def test_split_rhat_flags_nonstationary_chain():
     drifted = np.concatenate([good[: n // 2], 5.0 + good[n // 2 :]])
     assert np.all(mcmc.split_rhat(drifted) > 1.5)
     assert np.all(mcmc.split_rhat(np.ones((n, 2))) == 1.0)
+    # worst non-convergence: each half stuck at a DIFFERENT constant
+    stuck = np.concatenate([np.zeros((n // 2, 2)), np.ones((n // 2, 2))])
+    assert np.all(np.isinf(mcmc.split_rhat(stuck)))
+    # diverged chains (NaN draws) must not report healthy diagnostics
+    bad = np.full((n, 2), np.nan)
+    assert np.all(np.isnan(mcmc.split_rhat(bad)))
+    assert np.all(np.isnan(mcmc.effective_sample_size(bad)))
 
 
 def test_chain_diagnostics_bundle():
