@@ -125,3 +125,47 @@ def test_simulate_heteroskedastic_and_z_hetero():
     assert X.shape == (200, 5) and Y.shape == (200,) and sigma.shape == (200,)
     X2, Y2 = simulate_z_hetero(n=300, k=3, d=19)
     assert X2.shape == (300, 19) and Y2.shape == (300,)
+
+
+def test_semi_twins_sampler(tmp_path):
+    """Fabricated Twins CSV trio exercising every filter in the loader:
+    NaN-covariate rows dropped, first-twin birthweight >= 2kg pairs dropped,
+    both twins stacked, synthetic outcome + auxiliary_constant exposed
+    (reference causal_samplers.py:129-170)."""
+    import pandas as pd
+
+    from bayesgm_tpu.datasets import Semi_Twins_sampler
+
+    n, v_dim = 40, 6
+    rng = np.random.RandomState(1)
+    cov = rng.randn(n, v_dim)
+    cov[3, 2] = np.nan  # one NaN row -> dropped
+    cov_df = pd.DataFrame(cov, columns=[f"cov{i}" for i in range(v_dim)])
+    # loader slices .iloc[:, 2:] then drops the two infant-id columns
+    cov_df.insert(0, "Unnamed: 0", np.arange(n))
+    cov_df.insert(1, "idx", np.arange(n))
+    cov_df["infant_id_0"] = np.arange(n)
+    cov_df["infant_id_1"] = np.arange(n) + n
+
+    w0 = rng.randint(800, 1900, size=n).astype(float)
+    w1 = rng.randint(800, 1900, size=n).astype(float)
+    w1[5] = 2400.0  # heavy first-twin pair -> dropped (column dbirwt_1)
+    t_df = pd.DataFrame({"Unnamed: 0": np.arange(n), "dbirwt_0": w0, "dbirwt_1": w1})
+    y_df = pd.DataFrame({"Unnamed: 0": np.arange(n),
+                         "mort_0": rng.randint(0, 2, n),
+                         "mort_1": rng.randint(0, 2, n)})
+
+    cov_df.to_csv(tmp_path / "twin_pairs_X_3years_samesex.csv", index=False)
+    t_df.to_csv(tmp_path / "twin_pairs_T_3years_samesex.csv", index=False)
+    y_df.to_csv(tmp_path / "twin_pairs_Y_3years_samesex.csv", index=False)
+
+    s = Semi_Twins_sampler(batch_size=4, seed=0, path=str(tmp_path))
+    x, y, v = s.load_all()
+    kept = n - 2  # one NaN row + one heavy pair
+    assert x.shape == (2 * kept, 1) and y.shape == (2 * kept, 1)
+    assert v.shape == (2 * kept, v_dim)
+    # treatments are birthweight / 1000 of BOTH twins, all under the 2kg cap
+    assert np.all(x < 2.0) and np.all(x > 0)
+    assert np.isfinite(s.auxiliary_constant)
+    # covariates standardised by the base sampler
+    np.testing.assert_allclose(v.mean(axis=0), 0.0, atol=1e-4)
