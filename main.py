@@ -64,11 +64,19 @@ def _load_causal_dataset(name):
 
 
 def run_causal(params, epochs, egm_iters):
+    """The optional ``model:`` config key picks the engine:
+    ``causalbgm`` (default) | ``identifiable`` | ``fullmcmc`` | ``ensemble``."""
     from bayesgm_tpu.models.causalbgm import CausalBGM
+    from bayesgm_tpu.models.ensemble import EnsembleCausalBGM
+    from bayesgm_tpu.models.fullmcmc import FullMCMCCausalBGM
+    from bayesgm_tpu.models.identifiable import IdentifiableCausalBGM
 
     x, y, v, truth_fn = _load_causal_dataset(params["dataset"])
 
-    model = CausalBGM(params=params, random_seed=None)
+    cls = {"causalbgm": CausalBGM, "identifiable": IdentifiableCausalBGM,
+           "fullmcmc": FullMCMCCausalBGM, "ensemble": EnsembleCausalBGM}[
+        params.pop("model", "causalbgm")]
+    model = cls(params=params, random_seed=None)
     model.fit(data=(x, y, v), epochs=epochs, epochs_per_eval=10, use_egm_init=True,
               egm_n_iter=egm_iters, egm_batches_per_eval=500, verbose=1)
 
