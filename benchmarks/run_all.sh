@@ -6,6 +6,7 @@
 set -e
 cd "$(dirname "$0")/.."
 
+python benchmarks/warm_cache.py                   # ~5 min: pre-compile every hot kernel shape
 python bench.py                                   # ~4 min: train + inference headline JSON
 python benchmarks/step_breakdown.py               # ~4 min: Pallas fraction of the hot paths
 python benchmarks/bnn_kernel_parity.py            # ~4 min: kernel statistical-parity gate
