@@ -566,6 +566,21 @@ class BGM:
         x = nn.reparameterize(kr, mu, sigma_sq) if use_x_sd else mu
         return x, sigma_sq
 
+    @staticmethod
+    def _imputation_diagnostics(flat_draws, miss_flat, out_shape):
+        """ESS / split-R-hat of the posterior-predictive draw series at
+        every missing entry (NaN elsewhere), shaped like the data.  Shared
+        by the tabular and MNIST imputation predicts."""
+        ess = np.full(out_shape, np.nan, np.float64)
+        rhat = np.full(out_shape, np.nan, np.float64)
+        if miss_flat.any():
+            series = flat_draws[:, miss_flat]  # (n_mcmc, n_missing)
+            d = mcmc.chain_diagnostics(series)
+            mask = miss_flat.reshape(out_shape)
+            ess[mask] = d["ess"]
+            rhat[mask] = d["rhat"]
+        return dict(ess=ess, rhat=rhat)
+
     def predict_on_posteriors(self, data_posterior_z):
         """Reparameterized decodes of posterior Z draws (reference
         bgm/base.py:511-525).  Input (n_mcmc, n, z_dim) -> (n_mcmc, n, x_dim)."""
@@ -773,16 +788,10 @@ class BGM:
                 upper_i = np.quantile(dim_samples_i, 1.0 - alpha / 2.0, axis=0)
                 pred_interval.append(np.stack([lower_i, upper_i], axis=-1))
 
-        diag = None
-        if return_diagnostics:
-            ess = np.full(miss_mask.shape, np.nan, np.float64)
-            rhat = np.full(miss_mask.shape, np.nan, np.float64)
-            if miss_mask.any():
-                series = data_x_pred_all[:, miss_mask]  # (n_mcmc, n_missing)
-                d = mcmc.chain_diagnostics(series)
-                ess[miss_mask] = d["ess"]
-                rhat[miss_mask] = d["rhat"]
-            diag = dict(ess=ess, rhat=rhat)
+        diag = (self._imputation_diagnostics(
+                    data_x_pred_all.reshape(data_x_pred_all.shape[0], -1),
+                    miss_mask.reshape(-1), miss_mask.shape)
+                if return_diagnostics else None)
 
         if return_samples:
             if return_diagnostics:

@@ -579,16 +579,10 @@ class MNISTBGM(BGM):
                 upper_i = np.quantile(pix_i, 1.0 - alpha / 2.0, axis=0)
                 pred_interval.append(np.stack([lower_i, upper_i], axis=-1))
 
-        diag = None
-        if return_diagnostics:
-            ess = np.full(is_nan.shape, np.nan, np.float64)
-            rhat = np.full(is_nan.shape, np.nan, np.float64)
-            if is_nan.any():
-                series = flat_pred[:, miss_flat]  # (n_mcmc, n_missing_pixels)
-                d = mcmc.chain_diagnostics(series)
-                ess[is_nan] = d["ess"]
-                rhat[is_nan] = d["rhat"]
-            diag = dict(ess=ess, rhat=rhat)
+        diag = (self._imputation_diagnostics(
+                    flat_pred.reshape(flat_pred.shape[0], -1),
+                    miss_flat.reshape(-1), is_nan.shape)
+                if return_diagnostics else None)
 
         if return_samples:
             if return_diagnostics:

@@ -589,11 +589,17 @@ def adaptive_mala(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000
 # ---------------------------------------------------------------------------
 
 
+def _fft_len(n):
+    """FFT length used by :func:`_autocovariance` for an n-draw series —
+    shared with the ESS chunk-size bound so the two never desync."""
+    return 1 << int(2 * n - 1).bit_length()
+
+
 def _autocovariance(x):
     """Per-column biased autocovariance of ``x (n, m)`` via FFT."""
     n = x.shape[0]
     xc = x - x.mean(axis=0)
-    nfft = 1 << int(2 * n - 1).bit_length()
+    nfft = _fft_len(n)
     f = np.fft.rfft(xc, n=nfft, axis=0)
     acov = np.fft.irfft(f * np.conj(f), n=nfft, axis=0)[:n].real
     return acov / n
@@ -618,8 +624,7 @@ def effective_sample_size(draws, axis=0):
     out = np.empty(x.shape[1])
     # Bound the FFT workspace: the dominant transient is the complex128
     # rfft output (nfft/2+1, cols) x 16 B; cap it near 256 MB per chunk.
-    nfft = 1 << int(2 * n - 1).bit_length()
-    chunk = int(np.clip((1 << 28) // (nfft * 16), 128, 8192))
+    chunk = int(np.clip((1 << 28) // (_fft_len(n) * 16), 128, 8192))
     for c0 in range(0, x.shape[1], chunk):
         xb = x[:, c0 : c0 + chunk]
         acov = _autocovariance(xb)

@@ -45,8 +45,11 @@ def warm_causal(v_dim, z_dims, binary, use_bnn, n):
     # effect-grid size.  Use one standard 500-iter EGM chunk, the standard
     # 500-step chain chunks, and the benchmarks' 20-point grid so the warmed
     # programs are byte-identical to the real workloads'.
+    # egm_n_iter=CHUNK runs CHUNK+1 total iterations = one standard
+    # 500-iter chunk PLUS the 1-iter remainder chunk that every real
+    # 30000-iter run also executes (30001 = 60*500 + 1).
     m.fit((x, y, v), epochs=1, epochs_per_eval=10**9, batch_size=32,
-          use_egm_init=True, egm_n_iter=mcmc.CHUNK - 1,
+          use_egm_init=True, egm_n_iter=mcmc.CHUNK,
           egm_batches_per_eval=10**9, verbose=0)
     grid = None if binary else np.linspace(0, 3, 20)
     m.predict((x, y, v), alpha=0.1, n_mcmc=mcmc.CHUNK, burn_in=mcmc.CHUNK,

@@ -73,12 +73,20 @@ def run_causal(params, epochs, egm_iters):
 
     x, y, v, truth_fn = _load_causal_dataset(params["dataset"])
 
-    cls = {"causalbgm": CausalBGM, "identifiable": IdentifiableCausalBGM,
-           "fullmcmc": FullMCMCCausalBGM, "ensemble": EnsembleCausalBGM}[
-        params.pop("model", "causalbgm")]
+    engines = {"causalbgm": CausalBGM, "identifiable": IdentifiableCausalBGM,
+               "fullmcmc": FullMCMCCausalBGM, "ensemble": EnsembleCausalBGM}
+    engine = params.pop("model", "causalbgm")
+    if engine not in engines:
+        raise ValueError(f"Unknown model '{engine}'; valid options: "
+                         f"{sorted(engines)}")
+    cls = engines[engine]
     model = cls(params=params, random_seed=None)
     model.fit(data=(x, y, v), epochs=epochs, epochs_per_eval=10, use_egm_init=True,
               egm_n_iter=egm_iters, egm_batches_per_eval=500, verbose=1)
+    if engine == "fullmcmc":
+        # weight-space HMC over the fitted nets — predict() requires the
+        # posterior weight samples (fullmcmc.py: f_net_samples).
+        model.run_mcmc_training((x, y, v))
 
     if params.get("binary_treatment"):
         causal_pre, pos_intervals = model.predict(
@@ -165,7 +173,12 @@ def _load_mnist_images():
     downloader (needs egress), then the seeded synthetic-ellipse generator
     the committed inpainting benchmark uses (structured images, so the
     pipeline smoke-runs meaningfully without network access)."""
-    candidates = [os.environ.get("BAYESGM_MNIST_NPZ", ""),
+    explicit = os.environ.get("BAYESGM_MNIST_NPZ", "")
+    if explicit and not os.path.exists(explicit):
+        raise FileNotFoundError(
+            f"BAYESGM_MNIST_NPZ is set to '{explicit}' but no such file "
+            f"exists — refusing to fall back silently.")
+    candidates = [explicit,
                   os.path.expanduser("~/.keras/datasets/mnist.npz")]
     for path in candidates:
         if path and os.path.exists(path):

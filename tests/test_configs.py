@@ -29,9 +29,11 @@ def test_config_constructs_model(path, tmp_path):
         from bayesgm_tpu.models.identifiable import IdentifiableCausalBGM
 
         # same dispatch map as main.py run_causal
-        cls = {"causalbgm": CausalBGM, "identifiable": IdentifiableCausalBGM,
-               "fullmcmc": FullMCMCCausalBGM, "ensemble": EnsembleCausalBGM}[
-            params.pop("model", "causalbgm")]
+        engines = {"causalbgm": CausalBGM, "identifiable": IdentifiableCausalBGM,
+                   "fullmcmc": FullMCMCCausalBGM, "ensemble": EnsembleCausalBGM}
+        engine = params.pop("model", "causalbgm")
+        assert engine in engines, f"config uses unknown model '{engine}'"
+        cls = engines[engine]
         m = cls(params, random_seed=0)
         assert len(m.cfg.z_dims) == 4
     elif name in BGM_SETS:
