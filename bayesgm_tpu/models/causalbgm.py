@@ -1316,6 +1316,18 @@ class CausalBGM:
             if sampler == "mala":
                 # Gradient-informed Langevin proposals (beyond-reference):
                 # adapts toward the MALA-optimal ~0.574 acceptance.
+                if cfg.use_bnn:
+                    # _mala_step caches the current state's log-density
+                    # across steps — exact for deterministic targets, but a
+                    # sticky (lucky-noise-biased) chain for the stochastic
+                    # flipout target, which needs fresh re-evaluation of
+                    # BOTH sides per step (what the MH path does via
+                    # recompute_current).  Refuse rather than run biased.
+                    raise ValueError(
+                        "sampler='mala' supports deterministic targets "
+                        "(use_bnn=False); the stochastic flipout posterior "
+                        "requires fresh-noise re-evaluation each step — use "
+                        "the default MH sampler.")
                 log_prob = self._make_log_prob(bx, by, bv, differentiable=True,
                                                nets=nets,
                                                prefer_xla=mesh is not None)

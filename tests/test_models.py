@@ -271,3 +271,15 @@ def test_causalbgm_predict_diagnostics(causal_data, tmp_path):
                                bs=32, return_diagnostics=True)
     assert ite.shape == (n,) and diag["ess"].shape == (n,)
     assert diag["rhat"].shape == (n,) and 0.0 <= diag["accept_rate"] <= 1.0
+
+
+def test_causalbgm_mala_rejects_bnn(causal_data, tmp_path):
+    """MALA caches the current log-density across steps, which is only
+    valid for deterministic targets — the stochastic flipout posterior must
+    be refused (the MH path re-evaluates both sides per step instead)."""
+    x, y, v = causal_data
+    m = CausalBGM(_causal_params(tmpdir=str(tmp_path), use_bnn=True), random_seed=2)
+    m.fit((x, y, v), epochs=1, epochs_per_eval=1, batch_size=16,
+          use_egm_init=False, verbose=0)
+    with pytest.raises(ValueError, match="mala.*deterministic|deterministic.*mala"):
+        m.predict((x, y, v), n_mcmc=5, burn_in=5, x_values=[0.5], sampler="mala")
