@@ -7,9 +7,33 @@ implementations are fresh numpy.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from bayesgm_tpu.datasets.base_sampler import Base_sampler
+
+
+def resolve_data_path(path, subdir: str, probe: str) -> str:
+    """Resolve a real-data directory for the semi-synthetic loaders.
+
+    Order: an explicit ``path`` argument wins; otherwise
+    ``$BAYESGM_DATA/<subdir>`` when the env var is set; otherwise the
+    reference's relative default ``../data/<subdir>``.  Raises a
+    FileNotFoundError that names the env-var hook when ``probe`` (a file the
+    loader is about to read) is absent, so a data-bearing environment can be
+    pointed at the datasets with zero code changes.
+    """
+    if path is None:
+        root = os.environ.get("BAYESGM_DATA")
+        path = os.path.join(root, subdir) if root else os.path.join("..", "data", subdir)
+    probe_path = os.path.join(path, probe)
+    if not os.path.exists(probe_path):
+        raise FileNotFoundError(
+            f"Dataset file '{probe_path}' not found. Download the {subdir} "
+            "data and either pass path=... or set the BAYESGM_DATA "
+            f"environment variable to a directory containing '{subdir}/'.")
+    return path
 
 
 class Semi_acic_sampler(Base_sampler):
@@ -18,12 +42,14 @@ class Semi_acic_sampler(Base_sampler):
     Joins the shared covariate table ``x.csv`` with the per-setting factuals
     ``scaling/factuals/{ufid}.csv`` on ``sample_id``; treatment is the ``z``
     column, outcome the ``y`` column (reference causal_samplers.py:30-38).
+    Data directory resolves via :func:`resolve_data_path` (``$BAYESGM_DATA``).
     """
 
-    def __init__(self, batch_size: int = 32, path: str = "../data/ACIC_2018",
+    def __init__(self, batch_size: int = 32, path: str | None = None,
                  ufid: str = "d5bd8e4814904c58a79d7cdcd7c2a1bb"):
         import pandas as pd
 
+        path = resolve_data_path(path, "ACIC_2018", "x.csv")
         self.df_covariants = pd.read_csv(f"{path}/x.csv", index_col="sample_id", header=0, sep=",")
         self.df_sim = pd.read_csv(f"{path}/scaling/factuals/{ufid}.csv", index_col="sample_id", header=0, sep=",")
         dataset = self.df_covariants.join(self.df_sim, how="inner")
@@ -91,11 +117,13 @@ class Semi_Twins_sampler(Base_sampler):
     >= 2kg, stacks both twins, and synthesises the outcome
     y = -2 sigmoid(3x) + V gamma + eps (reference causal_samplers.py:146-168).
     Exposes ``auxiliary_constant`` = mean(V gamma) for ADRF centering.
+    Data directory resolves via :func:`resolve_data_path` (``$BAYESGM_DATA``).
     """
 
-    def __init__(self, batch_size: int = 32, seed: int = 0, path: str = "../data/Twins"):
+    def __init__(self, batch_size: int = 32, seed: int = 0, path: str | None = None):
         import pandas as pd
 
+        path = resolve_data_path(path, "Twins", "twin_pairs_X_3years_samesex.csv")
         covariate_df = (pd.read_csv(f"{path}/twin_pairs_X_3years_samesex.csv")
                         .iloc[:, 2:].drop(["infant_id_0", "infant_id_1"], axis=1))
         treatment_df = pd.read_csv(f"{path}/twin_pairs_T_3years_samesex.csv").iloc[:, 1:]

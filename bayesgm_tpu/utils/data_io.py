@@ -24,7 +24,9 @@ def save_data(fname: str, data, delimiter: str = "\t"):
     elif fname.endswith(".txt") or fname.endswith(".csv"):
         np.savetxt(fname, data, fmt="%.6f", delimiter=delimiter)
     else:
-        raise ValueError("Wrong saving format, please specify either .npy, .txt, or .csv")
+        raise ValueError(
+            f"Cannot infer an output format from '{fname}': supported "
+            "extensions are .npy, .txt and .csv.")
 
 
 def parse_file(path: str, sep: str = "\t", header=0, normalize: bool = True):
@@ -46,7 +48,8 @@ def parse_file(path: str, sep: str = "\t", header=0, normalize: bool = True):
     elif path.endswith("txt"):
         data = np.loadtxt(path, delimiter=sep)
     else:
-        raise SystemExit("File format not recognized, please use .npz, .csv or .txt as input.")
+        raise SystemExit(
+            f"Unsupported input file '{path}': expected a .npz, .csv or .txt extension.")
     data = data.astype("float32")
     if normalize:
         data = _standardize(data)
@@ -74,7 +77,8 @@ def parse_file_triplet(path: str, sep: str = "\t", header=0, normalize: bool = T
         data_y = data[:, 1].reshape(-1, 1).astype("float32")
         data_v = data[:, 2:].astype("float32")
     else:
-        raise SystemExit("File format not recognized, please use .npz, .csv or .txt as input.")
+        raise SystemExit(
+            f"Unsupported input file '{path}': expected a .npz, .csv or .txt extension.")
     if normalize:
         data_v = _standardize(data_v)
     return data_x, data_y, data_v

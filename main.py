@@ -168,17 +168,20 @@ def run_bgm(params, epochs, egm_iters):
 def _load_mnist_images():
     """Binarized MNIST train images (n, 28, 28, 1), best available source.
 
-    Resolution order: a local ``mnist.npz`` (``$BAYESGM_MNIST_NPZ`` or the
-    standard keras cache ``~/.keras/datasets/mnist.npz``), then the keras
-    downloader (needs egress), then the seeded synthetic-ellipse generator
-    the committed inpainting benchmark uses (structured images, so the
-    pipeline smoke-runs meaningfully without network access)."""
+    Resolution order: a local ``mnist.npz`` (``$BAYESGM_MNIST_NPZ``, then
+    ``$BAYESGM_DATA/mnist.npz``, then the standard keras cache
+    ``~/.keras/datasets/mnist.npz``), then the keras downloader (needs
+    egress), then the seeded synthetic-ellipse generator the committed
+    inpainting benchmark uses (structured images, so the pipeline smoke-runs
+    meaningfully without network access)."""
     explicit = os.environ.get("BAYESGM_MNIST_NPZ", "")
     if explicit and not os.path.exists(explicit):
         raise FileNotFoundError(
             f"BAYESGM_MNIST_NPZ is set to '{explicit}' but no such file "
             f"exists — refusing to fall back silently.")
+    data_root = os.environ.get("BAYESGM_DATA", "")
     candidates = [explicit,
+                  os.path.join(data_root, "mnist.npz") if data_root else "",
                   os.path.expanduser("~/.keras/datasets/mnist.npz")]
     for path in candidates:
         if path and os.path.exists(path):

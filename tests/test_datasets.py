@@ -79,6 +79,34 @@ def test_semi_acic_sampler(tmp_path):
     assert set(np.unique(x)).issubset({0.0, 1.0})
 
 
+def test_bayesgm_data_env_root(tmp_path, monkeypatch):
+    """The $BAYESGM_DATA hook resolves real-data directories with no path
+    argument, and a missing dataset fails loudly naming the hook."""
+    import pandas as pd
+    import pytest
+
+    n = 20
+    rng = np.random.RandomState(1)
+    ids = [f"s{i}" for i in range(n)]
+    acic = tmp_path / "ACIC_2018"
+    (acic / "scaling" / "factuals").mkdir(parents=True)
+    x_df = pd.DataFrame(rng.randn(n, 3), columns=[f"c{i}" for i in range(3)])
+    x_df.insert(0, "sample_id", ids)
+    x_df.to_csv(acic / "x.csv", index=False)
+    sim_df = pd.DataFrame({"sample_id": ids, "z": rng.randint(0, 2, n), "y": rng.randn(n)})
+    sim_df.to_csv(acic / "scaling" / "factuals" / "u1.csv", index=False)
+
+    monkeypatch.setenv("BAYESGM_DATA", str(tmp_path))
+    s = Semi_acic_sampler(batch_size=4, ufid="u1")
+    x, y, v = s.next_batch()
+    assert x.shape == (4, 1) and v.shape == (4, 3)
+
+    from bayesgm_tpu.datasets import Semi_Twins_sampler
+
+    with pytest.raises(FileNotFoundError, match="BAYESGM_DATA"):
+        Semi_Twins_sampler(batch_size=4)  # no Twins/ under the root
+
+
 def test_gaussian_sampler():
     s = Gaussian_sampler(mean=np.zeros(3), sd=1.0, N=1000)
     assert s.get_batch(17).shape == (17, 3)
