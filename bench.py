@@ -23,13 +23,16 @@ import time
 import numpy as np
 
 BASELINE_BATCHES_PER_SEC = 55.0
+# Within-process repeated measurements per metric; the headline value is the
+# median and the JSON carries a [min, max] "band" field (VERDICT r2 item 3).
+N_REPEATS = 5
 # Reference-style host-loop MH on CPU: 0.98 steps/s at n=20000 chains with
 # two full-batch log-posterior evals per step (measured with the XLA-CPU
 # composite standing in for the TF graph; see RESULTS.md).
 BASELINE_LOGP_EVALS_PER_SEC = 2 * 20000 * 0.98
 
 
-def bench_predict(model, data, n_long=4000, n_short=500):
+def bench_predict(model, data, n_long=8000, n_short=500):
     """Adaptive-MH steady-state throughput on the full-data posterior
     (default BNN config: two stochastic log-posterior evals per step,
     n=20000 parallel chains).
@@ -56,29 +59,60 @@ def bench_predict(model, data, n_long=4000, n_short=500):
     params = make_params(model.nets, (x, y, v), paired)
     jit_cache = {}
 
-    key = jax.random.PRNGKey(0)
-    init = jax.random.normal(key, (n, sum(model.cfg.z_dims)))
+    z_dim = sum(model.cfg.z_dims)
+
+    # Two tunneled-backend hazards make naive repeat-timing lie: (a) repeated
+    # executions with identical inputs can return in RPC-overhead time
+    # (~0.2 s) regardless of chain length, so every measurement call gets a
+    # FRESH init and chain key; (b) only a host fetch of a value that depends
+    # on the whole chain guarantees full synchronization, so each call ends
+    # with a scalar readback.
+    seed_counter = [0]
 
     def run(steps):
+        seed_counter[0] += 1
+        s = seed_counter[0]
+        init = jax.random.normal(jax.random.PRNGKey(9000 + s), (n, z_dim))
+        float(jnp.sum(init))  # materialize outside the timed region
         t0 = time.perf_counter()
-        res = mcmc.adaptive_mh(lp, init, key, burn_in=steps, n_keep=0,
+        res = mcmc.adaptive_mh(lp, init, jax.random.PRNGKey(s),
+                               burn_in=steps, n_keep=0,
                                q_sd=1.0, recompute_current=model.cfg.use_bnn,
                                paired_log_prob_fn=plp if paired else None,
                                multi_step_fn=multi_step,
                                params=params, jit_cache=jit_cache)
-        jax.block_until_ready(res.q_sd)
+        float(res.q_sd)  # host fetch = full drain of the chunk chain
         return time.perf_counter() - t0
 
     run(mcmc.CHUNK)  # compile warmup
-    t_short = run(n_short)
-    t_long = run(n_long)
-    steps_per_sec = (n_long - n_short) / max(t_long - t_short, 1e-9)
-    evals_per_sec = steps_per_sec * n * evals_per_step
+    # Chip throughput varies run-to-run (documented 989-8702 steps/s band for
+    # identical code across processes, and it can shift BETWEEN the short and
+    # long call of one marginal pair, inverting the difference).  Repeat the
+    # (short, long) pair N_REPEATS times within THIS process, keep only pairs
+    # whose marginal difference is meaningfully positive, and report
+    # median + min/max band.  If drift invalidates most pairs, fall back to
+    # whole-run throughput on the long runs — a conservative lower bound
+    # (per-call overhead included) that can never be inverted.
+    t_shorts, t_longs = [], []
+    for _ in range(N_REPEATS):
+        t_shorts.append(run(n_short))
+        t_longs.append(run(n_long))
+    rates = [(n_long - n_short) / (tl - ts)
+             for ts, tl in zip(t_shorts, t_longs) if tl > ts * 1.05]
+    method = "marginal"
+    if len(rates) < 2:
+        rates = [n_long / tl for tl in t_longs]
+        method = "whole-run lower bound"
+    med, lo, hi = float(np.median(rates)), min(rates), max(rates)
+    evals_per_sec = med * n * evals_per_step
     print(json.dumps({
         "metric": "causalbgm_posterior_logp_evals_per_sec",
         "value": round(evals_per_sec, 0),
-        "unit": f"logp evals/s/chip (n=20000 chains, BNN, {steps_per_sec:.0f} MH steps/s)",
+        "unit": f"logp evals/s/chip (n=20000 chains, BNN, {method} median of "
+                f"{len(rates)}/{N_REPEATS}; {med:.0f} MH steps/s)",
         "vs_baseline": round(evals_per_sec / BASELINE_LOGP_EVALS_PER_SEC, 2),
+        "band": [round(lo * n * evals_per_step, 0), round(hi * n * evals_per_step, 0)],
+        "repeats": N_REPEATS,
     }))
 
 
@@ -130,18 +164,22 @@ def main():
     jax.block_until_ready(carry[2])
 
     n_epochs = 5
-    t0 = time.perf_counter()
-    for _ in range(n_epochs):
-        carry, _ = epoch_fn(carry, idx, k_epoch, data)
-    jax.block_until_ready(carry[2])
-    elapsed = time.perf_counter() - t0
+    rates = []
+    for _ in range(N_REPEATS):
+        t0 = time.perf_counter()
+        for _ in range(n_epochs):
+            carry, _ = epoch_fn(carry, idx, k_epoch, data)
+        jax.block_until_ready(carry[2])
+        rates.append(n_epochs * n_batches / (time.perf_counter() - t0))
 
-    batches_per_sec = n_epochs * n_batches / elapsed
+    batches_per_sec = float(np.median(rates))
     print(json.dumps({
         "metric": "causalbgm_train_batches_per_sec",
         "value": round(batches_per_sec, 2),
-        "unit": "batches/s (n=20000, v_dim=200, bs=32, iterative phase)",
+        "unit": f"batches/s (n=20000, v_dim=200, bs=32, iterative phase, median of {N_REPEATS})",
         "vs_baseline": round(batches_per_sec / BASELINE_BATCHES_PER_SEC, 2),
+        "band": [round(min(rates), 2), round(max(rates), 2)],
+        "repeats": N_REPEATS,
     }))
 
 
