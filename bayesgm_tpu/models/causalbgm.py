@@ -773,7 +773,8 @@ class CausalBGM:
         # Fused latent update (VERDICT: make Pallas the training hot path):
         # the latent value-and-grad runs as one kernel launch on TPU — the
         # non-BNN kernel everywhere, the flipout kernel for the default BNN
-        # configuration (single-device: the in-kernel PRNG is per-core).
+        # configuration; mesh runs execute it replicated under shard_map
+        # (identical per-device results, no partitioning needed at bs rows).
         fused_vg = self._build_fused_latent_vg(batch_size, mesh)
 
         epoch_fn = jax.jit(partial(self._train_epoch, cfg, fused_latent_vg=fused_vg))
@@ -852,14 +853,22 @@ class CausalBGM:
 
     def _build_fused_latent_vg(self, batch_size, mesh):
         """Closure running the latent value-and-grad as one fused Pallas
-        kernel, or None when the XLA path should be used (CPU, mesh runs,
-        or params['use_pallas_latent']=False)."""
+        kernel, or None when the XLA path should be used (CPU, or
+        params['use_pallas_latent']=False).
+
+        Under a ``mesh`` the kernel is wrapped in a REPLICATED
+        ``jax.shard_map``: every device computes the same ~batch_size-row
+        launch from the replicated minibatch (GSPMD cannot partition a
+        pallas_call; at minibatch scale redundant compute beats sharding),
+        so mesh training keeps the fused Pallas hot path.  Explicitly
+        setting params['use_pallas_latent']=True builds the kernel even off
+        TPU (interpret mode) — how the CPU-mesh tests exercise this path."""
         from bayesgm_tpu.ops import pallas_kernels as pk
 
         cfg = self.cfg
         use_pallas = self.params.get("use_pallas_latent", "auto")
         if use_pallas == "auto":
-            use_pallas = pk.on_tpu() and mesh is None
+            use_pallas = pk.on_tpu()
         if cfg.use_bnn and not pk.on_tpu():
             use_pallas = False  # the flipout kernel needs the on-core PRNG
         if not use_pallas:
@@ -890,6 +899,10 @@ class CausalBGM:
                                  pk.flatten_mlp_params(nets["h"]),
                                  pk.flatten_mlp_params(nets["f"]))
 
+            if mesh is not None:
+                from bayesgm_tpu.parallel import replicated_shard_map
+
+                vg = replicated_shard_map(vg, mesh)
             return vg
         except Exception as e:  # pragma: no cover
             import warnings
@@ -940,15 +953,17 @@ class CausalBGM:
         return -_neg_log_posterior_rows(self.cfg, self.nets, args[3], args[0], args[1], args[2], key)
 
     def _make_log_prob(self, data_x, data_y, data_v, differentiable=False, nets=None,
-                       prefer_xla=False):
+                       prefer_xla=False, mesh=None):
         """MH log-target over Z.  Non-Bayesian nets on TPU use the fully
         fused Pallas kernel (ops/pallas_kernels.py, ~1.7x the XLA path);
         flipout nets and CPU runs use the XLA composite.  With
         ``differentiable=True`` the fused forward is wrapped in a custom VJP
         whose backward differentiates the XLA composite (the hand-written
         kernel defines no VJP), so gradient-based samplers still get the fast
-        forward.  ``prefer_xla=True`` forces the composite even on TPU
-        (mesh-sharded chains: GSPMD cannot partition a pallas_call)."""
+        forward.  With ``mesh`` the fused kernels run per-shard under
+        ``jax.shard_map`` over rows (row-separable target — exact), so
+        multi-chip chains keep the Pallas path.  ``prefer_xla=True`` forces
+        the composite."""
         cfg = self.cfg
         nets = self.nets if nets is None else nets
 
@@ -959,6 +974,15 @@ class CausalBGM:
 
         if prefer_xla:
             return xla_log_prob
+
+        def maybe_shard(rowfn, n_row_args, seed_arg=None):
+            if mesh is None:
+                return rowfn
+            from bayesgm_tpu.parallel import rowwise_shard_map
+
+            return rowwise_shard_map(rowfn, mesh, n_row_args,
+                                     axis_name=mesh.axis_names[0],
+                                     seed_arg=seed_arg)
 
         if cfg.use_bnn:
             # Default configuration: the flipout posterior runs in the fused
@@ -975,7 +999,8 @@ class CausalBGM:
                         pk.flipout_mlp_layer_dims(nets["h"]),
                         pk.flipout_mlp_layer_dims(nets["f"]))
                 if not differentiable:
-                    fused = pk.make_fused_causal_logp_bnn(cfg, *dims)
+                    fused = maybe_shard(pk.make_fused_causal_logp_bnn(cfg, *dims),
+                                        4, seed_arg=4)
 
                     def fused_bnn_log_prob(z, key):
                         return -fused(z, data_x, data_y, data_v,
@@ -985,7 +1010,9 @@ class CausalBGM:
 
                 # Gradient samplers (MALA/HMC): the fused forward+backward
                 # kernel differentiates through the SAME weight-noise draw.
-                fused_vg = pk.make_fused_causal_logp_and_grad_bnn(cfg, *dims)
+                fused_vg = maybe_shard(
+                    pk.make_fused_causal_logp_and_grad_bnn(cfg, *dims),
+                    4, seed_arg=4)
 
                 @jax.custom_vjp
                 def log_prob(z, key):
@@ -1012,9 +1039,9 @@ class CausalBGM:
                 return xla_log_prob
 
         try:
-            fused = pk.make_fused_causal_logp(
+            fused = maybe_shard(pk.make_fused_causal_logp(
                 cfg, pk.mlp_layer_dims(nets["g"]), pk.mlp_layer_dims(nets["h"]),
-                pk.mlp_layer_dims(nets["f"]))
+                pk.mlp_layer_dims(nets["f"])), 4)
             gf = pk.flatten_mlp_params(nets["g"])
             hf = pk.flatten_mlp_params(nets["h"])
             ff = pk.flatten_mlp_params(nets["f"])
@@ -1025,9 +1052,9 @@ class CausalBGM:
             if not differentiable:
                 return fused_log_prob
 
-            fused_vg = pk.make_fused_causal_logp_and_grad(
+            fused_vg = maybe_shard(pk.make_fused_causal_logp_and_grad(
                 cfg, pk.mlp_layer_dims(nets["g"]), pk.mlp_layer_dims(nets["h"]),
-                pk.mlp_layer_dims(nets["f"]))
+                pk.mlp_layer_dims(nets["f"])), 4)
 
             @jax.custom_vjp
             def log_prob(z, key):
@@ -1055,14 +1082,16 @@ class CausalBGM:
                 f"({type(e).__name__}: {e}); using the XLA composite.")
             return xla_log_prob
 
-    def _make_param_log_prob(self, prefer_xla=False):
+    def _make_param_log_prob(self, prefer_xla=False, mesh=None):
         """Params-mode MH target for ``ops.mcmc.adaptive_mh(params=...)``.
 
+        ``mesh``: with a device mesh, the fused Pallas kernels run PER SHARD
+        under ``jax.shard_map`` over the row axis (the targets are
+        row-separable, so per-shard evaluation is exact; each shard's
+        in-kernel PRNG stream is decorrelated by mixing the shard index into
+        the seed) — multi-chip predict keeps the Pallas hot path.
         ``prefer_xla=True`` skips the Pallas kernels and returns the XLA
-        composite even on TPU — used for mesh-sharded predict, where a
-        ``pallas_call`` inside the jitted chain has no SPMD partitioning
-        rule (GSPMD cannot shard an opaque custom call; the XLA composite
-        partitions row-wise automatically).
+        composite even on TPU (tests/benchmarks of the composite).
 
         Returns ``(lp, plp, make_params, make_multi_step)``:
 
@@ -1072,12 +1101,13 @@ class CausalBGM:
           ~10 s retrace per ``predict`` (closure arrays bake into the trace).
         - ``plp(params, z_prop, z_cur, k1, k2)`` or None — single-launch
           paired evaluation for ``recompute_current`` steps: both states are
-          stacked into a 2n-row fused-kernel call.  The in-kernel PRNG is
-          seeded per row block (pallas_kernels.py: ``program_id`` mixed into
-          the seed), so the proposed and current halves draw distinct weight
-          perturbations exactly as two separate fresh-noise evaluations do —
-          matching the reference's two ``get_log_posterior`` calls per step
-          (causalbgm/base.py:865-866) at block granularity.
+          stacked into one fused-kernel call, each half padded up to a
+          row-block boundary (``pk.bnn_block_rows``) so the halves NEVER
+          share a per-block weight-noise draw.  The in-kernel PRNG is seeded
+          per row block (pallas_kernels.py: ``program_id`` mixed into the
+          seed), so the proposed and current halves draw independent weight
+          perturbations exactly as the reference's two separate
+          ``get_log_posterior`` calls per step do (causalbgm/base.py:865-866).
         - ``make_params(nets, data, paired) -> dict`` — builds the params
           pytree (flattened kernel weights, raw nets for the collector, data,
           and the pre-stacked 2n-row data when ``paired``).
@@ -1091,17 +1121,36 @@ class CausalBGM:
         cfg = self.cfg
         from bayesgm_tpu.ops import pallas_kernels as pk
 
+        paired_block = [None]  # set by the fused-BNN branch below
+        mesh_axis = None if mesh is None else mesh.axis_names[0]
+        n_shards = 1 if mesh is None else mesh.shape[mesh_axis]
+
         def make_params(nets, data, paired):
             x, y, v = (jnp.asarray(a, jnp.float32) for a in data)
             p = {"nets": nets, "data": (x, y, v)}
-            if pk.on_tpu() and not prefer_xla:
+            if not prefer_xla and (pk.on_tpu() or
+                                   (mesh is not None and not cfg.use_bnn)):
                 flatten = (pk.flatten_flipout_params if cfg.use_bnn
                            else pk.flatten_mlp_params)
                 p["flat"] = (flatten(nets["g"]), flatten(nets["h"]),
                              flatten(nets["f"]))
             if paired:
-                p["data2"] = tuple(jnp.concatenate([a, a], axis=0)
-                                   for a in (x, y, v))
+                # Pad each half to a kernel row-block boundary so the
+                # proposed/current halves of the paired stack occupy disjoint
+                # blocks (independent per-block weight noise; advisor r2).
+                # Under a mesh the halves are stacked on a leading pair axis
+                # and each SHARD holds aligned [prop; cur] sub-halves, so the
+                # padding unit is block_rows * n_shards.
+                blk, n = paired_block[0] or 1, x.shape[0]
+                unit = blk * n_shards
+                n_pad = -(-n // unit) * unit
+                halves = ((x, y, v) if n_pad == n else tuple(
+                    jnp.pad(a, ((0, n_pad - n), (0, 0))) for a in (x, y, v)))
+                if mesh is None:
+                    p["data2"] = tuple(jnp.concatenate([a, a], axis=0)
+                                       for a in halves)
+                else:
+                    p["data2"] = tuple(jnp.stack([a, a]) for a in halves)
             return p
 
         if cfg.use_bnn and pk.on_tpu() and not prefer_xla:
@@ -1112,19 +1161,71 @@ class CausalBGM:
                 fused = self._jit_cache(
                     ("fused_bnn_logp", tuple(map(tuple, dims))),
                     lambda: pk.make_fused_causal_logp_bnn(cfg, *dims))
+                paired_block[0] = pk.bnn_block_rows(cfg, *dims)
 
-                def lp(params, z, key):
-                    gf, hf, ff = params["flat"]
-                    x, y, v = params["data"]
-                    return -fused(z, x, y, v, pk.key_to_seed(key), gf, hf, ff)
+                if mesh is None:
+                    def lp(params, z, key):
+                        gf, hf, ff = params["flat"]
+                        x, y, v = params["data"]
+                        return -fused(z, x, y, v, pk.key_to_seed(key), gf, hf, ff)
 
-                def plp(params, z_prop, z_cur, k1, k2):
-                    gf, hf, ff = params["flat"]
-                    x2, y2, v2 = params["data2"]
-                    zz = jnp.concatenate([z_prop, z_cur], axis=0)
-                    neg = fused(zz, x2, y2, v2, pk.key_to_seed(k1), gf, hf, ff)
-                    n = z_prop.shape[0]
-                    return -neg[:n], -neg[n:]
+                    def plp(params, z_prop, z_cur, k1, k2):
+                        gf, hf, ff = params["flat"]
+                        x2, y2, v2 = params["data2"]
+                        n = z_prop.shape[0]
+                        n_pad = x2.shape[0] // 2  # half length incl. padding
+                        if n_pad != n:
+                            rp = ((0, n_pad - n), (0, 0))
+                            z_prop = jnp.pad(z_prop, rp)
+                            z_cur = jnp.pad(z_cur, rp)
+                        zz = jnp.concatenate([z_prop, z_cur], axis=0)
+                        neg = fused(zz, x2, y2, v2, pk.key_to_seed(k1), gf, hf, ff)
+                        return -neg[:n], -neg[n_pad:n_pad + n]
+                else:
+                    from jax.sharding import PartitionSpec as P
+
+                    from bayesgm_tpu.parallel import rowwise_shard_map
+
+                    sharded_fused = rowwise_shard_map(
+                        fused, mesh, 4, axis_name=mesh_axis, seed_arg=4)
+
+                    def lp(params, z, key):
+                        gf, hf, ff = params["flat"]
+                        x, y, v = params["data"]
+                        return -sharded_fused(z, x, y, v, pk.key_to_seed(key),
+                                              gf, hf, ff)
+
+                    def paired_local(zz_l, x_l, y_l, v_l, seed, gf, hf, ff):
+                        # Each shard holds aligned (2, n_l) [prop; cur]
+                        # sub-halves with n_l a multiple of block_rows, so
+                        # the flattened 2*n_l rows keep the halves in
+                        # disjoint noise blocks.  Shard streams decorrelate
+                        # via the seed's second word.
+                        seed = seed.at[1].add(jax.lax.axis_index(mesh_axis))
+                        nl = zz_l.shape[1]
+                        flat = lambda a: a.reshape(2 * nl, a.shape[2])
+                        neg = fused(flat(zz_l), flat(x_l), flat(y_l),
+                                    flat(v_l), seed, gf, hf, ff)
+                        return neg.reshape(2, nl)
+
+                    def plp(params, z_prop, z_cur, k1, k2):
+                        gf, hf, ff = params["flat"]
+                        x2, y2, v2 = params["data2"]  # (2, n_pad, d) each
+                        n, n_pad = z_prop.shape[0], x2.shape[1]
+                        if n_pad != n:
+                            rp = ((0, n_pad - n), (0, 0))
+                            z_prop = jnp.pad(z_prop, rp)
+                            z_cur = jnp.pad(z_cur, rp)
+                        zz = jnp.stack([z_prop, z_cur])
+                        sm = jax.shard_map(
+                            paired_local, mesh=mesh,
+                            in_specs=(P(None, mesh_axis), P(None, mesh_axis),
+                                      P(None, mesh_axis), P(None, mesh_axis),
+                                      P(), P(), P(), P()),
+                            out_specs=P(None, mesh_axis), check_vma=False)
+                        neg = sm(zz, x2, y2, v2, pk.key_to_seed(k1),
+                                 gf, hf, ff)
+                        return -neg[0, :n], -neg[1, :n]
 
                 def make_multi_step(K):
                     fused_ms = self._jit_cache(
@@ -1147,10 +1248,12 @@ class CausalBGM:
                     f"Fused BNN Pallas log-posterior unavailable "
                     f"({type(e).__name__}: {e}); using the XLA composite.")
 
-        elif pk.on_tpu() and not prefer_xla:
+        elif not cfg.use_bnn and not prefer_xla and (pk.on_tpu() or mesh is not None):
             # Non-Bayesian nets: deterministic fused kernel (no key use), one
             # launch per evaluation; pairing is moot since recompute_current
-            # is off for deterministic targets.
+            # is off for deterministic targets.  Under a CPU mesh the kernel
+            # runs in interpret mode per shard — the same shard_map code path
+            # the TPU mesh uses, so the multi-chip dryrun/tests exercise it.
             try:
                 dims = (pk.mlp_layer_dims(self.nets["g"]),
                         pk.mlp_layer_dims(self.nets["h"]),
@@ -1158,6 +1261,11 @@ class CausalBGM:
                 fused = self._jit_cache(
                     ("fused_logp", tuple(map(tuple, dims))),
                     lambda: pk.make_fused_causal_logp(cfg, *dims))
+                if mesh is not None:
+                    from bayesgm_tpu.parallel import rowwise_shard_map
+
+                    fused = rowwise_shard_map(fused, mesh, 4,
+                                              axis_name=mesh_axis)
 
                 def lp(params, z, key):
                     gf, hf, ff = params["flat"]
@@ -1223,7 +1331,7 @@ class CausalBGM:
     def predict(self, data, alpha=0.01, n_mcmc=3000, burn_in=5000, x_values=None,
                 q_sd=1.0, sample_y=True, bs=10000, sampler="mh",
                 use_best_nets=False, use_swa_nets=False, mesh=None,
-                return_diagnostics=False):
+                return_diagnostics=False, return_draws=False):
         """Causal effects with posterior intervals from latent MCMC
         (reference predict, base.py:573-668).
 
@@ -1238,14 +1346,19 @@ class CausalBGM:
         per-effect-series effective sample size (``ess``), split-R̂
         (``rhat``) computed on the collected effect draws, and the mean MH
         acceptance rate — convergence evidence the reference never reports
-        (it prints only the final acceptance, base.py:897-904).
+        (it prints only the final acceptance, base.py:897-904).  With
+        continuous treatment and ``n_test > bs`` the reported ESS is the
+        elementwise MINIMUM (and R̂ the maximum) over per-batch chains —
+        conservative by construction, never computed on a cross-batch
+        average.  ``return_draws=True`` appends the raw effect draw matrix
+        (see ``_aggregate_predict``).
 
-        Note: with continuous treatment and ``n_test > bs``, per-batch ADRF
-        draws from independent chains are averaged pointwise by draw index —
-        an approximation to the reference's single full-data chain that can
-        narrow the posterior intervals (cross-batch draw alignment is
-        arbitrary); the point estimate is unaffected.  Raise ``bs`` to cover
-        all subjects in one chain when exact intervals matter.
+        Subject batching (``n_test > bs``) is exact for both treatment
+        types: the reference's single full-data chain is n independent
+        per-subject chains stepped in lockstep (base.py:860-898), so
+        combining per-batch draws at a common draw index reproduces the
+        unbatched draw-series law (verified by
+        tests/test_predict_batching.py::test_batched_intervals_match_unbatched).
 
         ``mesh`` shards the per-subject chains (init state + data rows) over
         the device mesh — MCMC inference is embarrassingly parallel in
@@ -1290,7 +1403,7 @@ class CausalBGM:
             # program — no per-call retrace; BNN steps evaluate proposed +
             # current in ONE stacked fused-kernel launch (plp).
             lp, plp, make_params, make_multi_step = self._make_param_log_prob(
-                prefer_xla=mesh is not None)
+                mesh=mesh)
             # K-steps-per-launch burn-in kernel: measured SLOWER than the
             # paired per-step path on the v5e (two serialized n-row evals per
             # step pipeline worse than one flat 2n-row launch; RESULTS.md) —
@@ -1302,7 +1415,8 @@ class CausalBGM:
             collect_p = _effect_collector_p(cfg, x_values, sample_y)
             xv_key = None if x_values is None else tuple(np.asarray(x_values).tolist())
             jit_cache = self._jit_cache(
-                ("mh_chain_jit", xv_key, bool(sample_y), mesh is not None), dict)
+                ("mh_chain_jit", xv_key, bool(sample_y),
+                 None if mesh is None else str(mesh)), dict)
         else:
             collect = _effect_collector(cfg, nets, x_values, sample_y)
 
@@ -1329,8 +1443,7 @@ class CausalBGM:
                         "requires fresh-noise re-evaluation each step — use "
                         "the default MH sampler.")
                 log_prob = self._make_log_prob(bx, by, bv, differentiable=True,
-                                               nets=nets,
-                                               prefer_xla=mesh is not None)
+                                               nets=nets, mesh=mesh)
                 res = mcmc.adaptive_mala(
                     log_prob, init, self._next_key(), burn_in=burn_in,
                     n_keep=n_mcmc, step_size=0.1, collect=collect)
@@ -1348,14 +1461,29 @@ class CausalBGM:
 
         return self._aggregate_predict(run_batch, (data_x, data_y, data_v),
                                        alpha, n_mcmc, bs, x_values,
-                                       return_diagnostics)
+                                       return_diagnostics,
+                                       return_draws=return_draws)
 
     def _aggregate_predict(self, run_batch, data, alpha, n_mcmc, bs, x_values,
-                           return_diagnostics):
+                           return_diagnostics, return_draws=False):
         """Shared predict aggregation (base + identifiable): batch subjects
         through ``run_batch -> (effect_draws, accept_rate)``, assemble the
         point estimate + ``[alpha/2, 1-alpha/2]`` intervals, and optionally
-        the ESS / split-R̂ / pooled-acceptance diagnostics."""
+        the ESS / split-R̂ / pooled-acceptance diagnostics.
+
+        Batching is exact, not an approximation: per-subject chains are
+        independent whether they share one launch or not (the reference's
+        "full-data chain", base.py:860-898, is n independent random-walk
+        chains stepped in lockstep), so combining batches at a common draw
+        index reproduces the unbatched draw-series law.  Diagnostics for the
+        continuous case are computed per batch-chain and aggregated
+        conservatively (elementwise min ESS / max R̂ across batches) — never
+        on a cross-batch average, which would overstate mixing.
+
+        ``return_draws=True`` appends the raw effect draw matrix (binary:
+        ``(n_mcmc, n_test)``; continuous: ``(len(x_values), n_mcmc)``) so
+        callers (e.g. the ensemble) can pool draws instead of summaries.
+        """
         data_x, data_y, data_v = data
         n_test = len(data_x)
         accept_rates = []
@@ -1366,6 +1494,8 @@ class CausalBGM:
             lower = np.zeros(n_test, np.float32)
             ess = np.zeros(n_test, np.float32) if return_diagnostics else None
             rhat = np.zeros(n_test, np.float32) if return_diagnostics else None
+            draws = (np.zeros((n_mcmc, n_test), np.float32)
+                     if return_draws else None)
             for start in range(0, n_test, bs):
                 end = min(start + bs, n_test)
                 effects, rate = run_batch(data_x[start:end], data_y[start:end],
@@ -1374,18 +1504,23 @@ class CausalBGM:
                 ite_mean[start:end] = effects.mean(axis=0)
                 upper[start:end] = np.quantile(effects, 1 - alpha / 2, axis=0)
                 lower[start:end] = np.quantile(effects, alpha / 2, axis=0)
+                if return_draws:
+                    draws[:, start:end] = effects
                 if return_diagnostics:
                     d = mcmc.chain_diagnostics(effects)
                     ess[start:end] = d["ess"]
                     rhat[start:end] = d["rhat"]
+            out = [ite_mean, np.stack([lower, upper], axis=1)]
             if return_diagnostics:
-                diag = dict(ess=ess, rhat=rhat,
-                            accept_rate=self._pooled_rate(accept_rates))
-                return ite_mean, np.stack([lower, upper], axis=1), diag
-            return ite_mean, np.stack([lower, upper], axis=1)
+                out.append(dict(ess=ess, rhat=rhat,
+                                accept_rate=self._pooled_rate(accept_rates)))
+            if return_draws:
+                out.append(draws)
+            return tuple(out)
 
         adrf_sums = np.zeros((len(x_values), n_mcmc), np.float32)
         n_seen = 0
+        ess_min, rhat_max = None, None
         for start in range(0, n_test, bs):
             end = min(start + bs, n_test)
             effects, rate = run_batch(data_x[start:end], data_y[start:end],
@@ -1393,16 +1528,23 @@ class CausalBGM:
             accept_rates.append((rate, end - start))
             adrf_sums += effects.T * (end - start)  # (len(x_values), n_mcmc)
             n_seen += end - start
+            if return_diagnostics:
+                # Per-batch-chain diagnostics; the cross-batch average mixes
+                # independent chains and would inflate ESS (advisor r2).
+                d = mcmc.chain_diagnostics(effects.T, axis=1)
+                ess_min = d["ess"] if ess_min is None else np.minimum(ess_min, d["ess"])
+                rhat_max = d["rhat"] if rhat_max is None else np.maximum(rhat_max, d["rhat"])
         causal_effects = adrf_sums / float(n_seen)
         adrf = causal_effects.mean(axis=1)
         upper = np.quantile(causal_effects, 1 - alpha / 2, axis=1)
         lower = np.quantile(causal_effects, alpha / 2, axis=1)
+        out = [adrf, np.stack([lower, upper], axis=1)]
         if return_diagnostics:
-            diag = mcmc.chain_diagnostics(
-                causal_effects, axis=1,
-                accept_rate=self._pooled_rate(accept_rates))
-            return adrf, np.stack([lower, upper], axis=1), diag
-        return adrf, np.stack([lower, upper], axis=1)
+            out.append(dict(ess=ess_min, rhat=rhat_max,
+                            accept_rate=self._pooled_rate(accept_rates)))
+        if return_draws:
+            out.append(causal_effects)
+        return tuple(out)
 
     @staticmethod
     def _pooled_rate(rates):

@@ -65,26 +65,41 @@ class EnsembleCausalBGM:
         return (causal, *mses)
 
     def predict(self, data, alpha=0.01, n_mcmc=3000, burn_in=5000, x_values=None,
-                q_sd=1.0, sample_y=True, bs=10000, **kwargs):
-        """Member-averaged causal effects.
+                q_sd=1.0, sample_y=True, bs=10000, return_diagnostics=False,
+                **kwargs):
+        """Causal effects under the uniform model-average posterior.
 
-        Point estimates are the equal-weight average of the members'
-        posterior means (Bayesian model averaging with uniform weights over
-        members).  Interval bounds are averaged the same way — an
-        approximation to pooling the members' posterior draws that keeps the
-        per-member on-device effect collection (exact pooling would need the
-        raw draw sets; the average is conservative for well-separated
-        members and exact when member posteriors coincide).
+        The ensemble posterior is the equal-weight MIXTURE of the member
+        posteriors: member effect draws are pooled into one
+        ``K x n_mcmc``-draw set, and the point estimate and the
+        ``[alpha/2, 1-alpha/2]`` interval are the mean and quantiles of that
+        pooled set — exact mixture quantiles, not an average of per-member
+        interval bounds.
+
+        ``return_diagnostics=True`` appends a dict with the elementwise
+        minimum ESS and maximum split-R̂ across members (each member's chain
+        judged on its own) plus the member-mean acceptance rate.
         """
-        points, lowers, uppers = [], [], []
+        draws_k, diags = [], []
         for i, m in enumerate(self.members):
             print(f"=== Ensemble member {i + 1}/{self.n_members} predict ===")
-            pt, iv = m.predict(data, alpha=alpha, n_mcmc=n_mcmc, burn_in=burn_in,
-                               x_values=x_values, q_sd=q_sd, sample_y=sample_y,
-                               bs=bs, **kwargs)
-            points.append(np.asarray(pt))
-            lowers.append(np.asarray(iv)[:, 0])
-            uppers.append(np.asarray(iv)[:, 1])
-        point = np.mean(points, axis=0)
-        intervals = np.stack([np.mean(lowers, axis=0), np.mean(uppers, axis=0)], axis=1)
+            out = m.predict(data, alpha=alpha, n_mcmc=n_mcmc, burn_in=burn_in,
+                            x_values=x_values, q_sd=q_sd, sample_y=sample_y,
+                            bs=bs, return_diagnostics=return_diagnostics,
+                            return_draws=True, **kwargs)
+            draws_k.append(np.asarray(out[-1]))
+            if return_diagnostics:
+                diags.append(out[2])
+        draw_axis = 0 if self.cfg.binary_treatment else 1
+        pooled = np.concatenate(draws_k, axis=draw_axis)  # mixture draws
+        point = pooled.mean(axis=draw_axis)
+        lower = np.quantile(pooled, alpha / 2, axis=draw_axis)
+        upper = np.quantile(pooled, 1 - alpha / 2, axis=draw_axis)
+        intervals = np.stack([lower, upper], axis=1)
+        if return_diagnostics:
+            diag = dict(
+                ess=np.min([d["ess"] for d in diags], axis=0),
+                rhat=np.max([d["rhat"] for d in diags], axis=0),
+                accept_rate=float(np.mean([d["accept_rate"] for d in diags])))
+            return point, intervals, diag
         return point, intervals

@@ -961,3 +961,19 @@ def make_fused_causal_logp_and_grad(cfg, g_dims, h_dims, f_dims,
         return neg_logp[:n, 0], grad[:n]
 
     return fn
+
+
+def bnn_block_rows(cfg, g_dims, h_dims, f_dims) -> int:
+    """Row-block size :func:`make_fused_causal_logp_bnn` picks by default.
+
+    Mirrors that kernel's VMEM model (forward activations + two live sign
+    matrices per layer — keep in sync with its ``block_rows is None``
+    branch).  Exposed so the paired 2n-row MH evaluation can pad each half
+    to a block boundary, guaranteeing the proposed and current states never
+    share a per-block weight-noise draw.  Defined at the END of this file:
+    appending here does not shift the MLIR source locations of the kernels
+    above, so the persistent compile cache stays valid.
+    """
+    max_width = max(*g_dims, *h_dims, *f_dims)
+    row_bytes = 4 * (sum(cfg.z_dims) + 2 + 2 * (cfg.v_dim + 1) + 4 * max_width)
+    return pick_block_rows(row_bytes)

@@ -12,7 +12,10 @@ from bayesgm_tpu.parallel.mesh import (
     data_sharding,
     make_mesh,
     replicate,
+    replicated_shard_map,
+    rowwise_shard_map,
     shard_rows,
 )
 
-__all__ = ["make_mesh", "shard_rows", "replicate", "data_sharding"]
+__all__ = ["make_mesh", "shard_rows", "replicate", "data_sharding",
+           "rowwise_shard_map", "replicated_shard_map"]
