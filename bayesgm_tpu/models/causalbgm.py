@@ -1429,24 +1429,22 @@ class CausalBGM:
                 bx, by, bv, init = (shard_rows(a, mesh) for a in (bx, by, bv, init))
             if sampler == "mala":
                 # Gradient-informed Langevin proposals (beyond-reference):
-                # adapts toward the MALA-optimal ~0.574 acceptance.
-                if cfg.use_bnn:
-                    # _mala_step caches the current state's log-density
-                    # across steps — exact for deterministic targets, but a
-                    # sticky (lucky-noise-biased) chain for the stochastic
-                    # flipout target, which needs fresh re-evaluation of
-                    # BOTH sides per step (what the MH path does via
-                    # recompute_current).  Refuse rather than run biased.
-                    raise ValueError(
-                        "sampler='mala' supports deterministic targets "
-                        "(use_bnn=False); the stochastic flipout posterior "
-                        "requires fresh-noise re-evaluation each step — use "
-                        "the default MH sampler.")
+                # adapts toward the MALA-optimal ~0.574 acceptance.  For the
+                # stochastic flipout target (use_bnn) the chain re-evaluates
+                # BOTH sides of the accept ratio with fresh noise keys every
+                # step (recompute_current — the MALA analogue of what the MH
+                # path does); on TPU each evaluation is one fused
+                # forward+backward Pallas launch
+                # (make_fused_causal_logp_and_grad_bnn), so a BNN-MALA step
+                # costs two kernel launches.  Caching the current logp (the
+                # deterministic-target fast path) would bias a stochastic
+                # chain toward lucky noise draws.
                 log_prob = self._make_log_prob(bx, by, bv, differentiable=True,
                                                nets=nets, mesh=mesh)
                 res = mcmc.adaptive_mala(
                     log_prob, init, self._next_key(), burn_in=burn_in,
-                    n_keep=n_mcmc, step_size=0.1, collect=collect)
+                    n_keep=n_mcmc, step_size=0.1,
+                    recompute_current=cfg.use_bnn, collect=collect)
             else:
                 paired = cfg.use_bnn and plp is not None
                 params = make_params(nets, (bx, by, bv), paired)

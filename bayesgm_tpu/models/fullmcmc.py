@@ -74,12 +74,26 @@ class FullMCMCCausalBGM(cb.CausalBGM):
         return log_prob
 
     def run_mcmc_training(self, data, num_samples=2000, num_burnin=1000, eps=1e-6,
-                          step_size=1e-4, num_leapfrog=3, adaptation_rate=0.05):
+                          step_size=1e-4, num_leapfrog=3, adaptation_rate=0.05,
+                          mesh=None):
         """HMC over g/h/f weights conditioned on the fitted latent table
-        (fullmcmc.py:115-181).  Must be called after :meth:`fit`."""
+        (fullmcmc.py:115-181).  Must be called after :meth:`fit`.
+
+        ``mesh`` row-shards the conditioning data (the likelihood is a sum
+        over rows, so XLA reduces per-shard partial sums with one psum per
+        leapfrog gradient); the flat weight chain itself is replicated —
+        weight-space HMC is data-parallel, not parameter-parallel, at these
+        network sizes."""
         assert self.data_z is not None, "Call fit() before run_mcmc_training()."
         cfg = self.cfg
         data_x, data_y, data_v = [jnp.asarray(a, jnp.float32) for a in data]
+        if mesh is not None:
+            from bayesgm_tpu.parallel import replicate, shard_rows
+
+            data_x, data_y, data_v = (shard_rows(a, mesh)
+                                      for a in (data_x, data_y, data_v))
+            self.data_z = shard_rows(self.data_z, mesh)
+            self.nets = replicate(self.nets, mesh)
         z = self.data_z
         z0, z1, z2 = cb._split_z(cfg, z)
 
@@ -191,9 +205,15 @@ class FullMCMCCausalBGM(cb.CausalBGM):
                                     f_net_samples=None, initial_q_sd=1.0, q_sd=None,
                                     burn_in=5000, n_keep=3000, target_acceptance_rate=0.25,
                                     tolerance=0.05, adjustment_interval=50, adaptive_sd=None,
-                                    window_size=100):
+                                    window_size=100, mesh=None):
         """Adaptive MH over Z with per-step random weight draws
-        (fullmcmc.py:396-487).  Returns (n_keep, n, z_dim)."""
+        (fullmcmc.py:396-487).  Returns (n_keep, n, z_dim).
+
+        ``mesh`` shards the per-subject chains (rows of the data and the
+        chain state) over the device mesh; the weight-sample stacks are
+        replicated, and the per-step random weight index derives from the
+        replicated step key, so every shard conditions on the SAME weight
+        draw — numerics match the single-device chain."""
         if g_net_samples is not None:
             self.g_net_samples = np.asarray(g_net_samples)
         if h_net_samples is not None:
@@ -209,10 +229,16 @@ class FullMCMCCausalBGM(cb.CausalBGM):
         q0 = initial_q_sd if adaptive_sd else q_sd
 
         init = jax.random.normal(self._next_key(), (n, sum(self.cfg.z_dims)))
-        params = {"w": (jnp.asarray(self.g_net_samples),
-                        jnp.asarray(self.h_net_samples),
-                        jnp.asarray(self.f_net_samples)),
-                  "data": data}
+        w = (jnp.asarray(self.g_net_samples),
+             jnp.asarray(self.h_net_samples),
+             jnp.asarray(self.f_net_samples))
+        if mesh is not None:
+            from bayesgm_tpu.parallel import replicate, shard_rows
+
+            data = tuple(shard_rows(a, mesh) for a in data)
+            init = shard_rows(init, mesh)
+            w = replicate(w, mesh)
+        params = {"w": w, "data": data}
         res = mcmc.adaptive_mh(
             self._weighted_log_prob_p, init, self._next_key(),
             burn_in=burn_in, n_keep=n_keep, q_sd=float(q0), adaptive=bool(adaptive_sd),
@@ -221,7 +247,9 @@ class FullMCMCCausalBGM(cb.CausalBGM):
             # weights change per step -> recompute the current logp, with one
             # shared weight draw for both sides of the accept ratio
             recompute_current=True, shared_eval_key=True,
-            params=params, jit_cache=self._jit_cache(("mh_chain_jit_w",), dict))
+            params=params,
+            jit_cache=self._jit_cache(
+                ("mh_chain_jit_w", None if mesh is None else str(mesh)), dict))
         print(f"Final MCMC Acceptance Rate: {float(res.accept_rate):.4f}")
         return np.asarray(res.samples)
 
@@ -280,12 +308,15 @@ class FullMCMCCausalBGM(cb.CausalBGM):
         return np.concatenate(outs, axis=0)
 
     def predict(self, data, alpha=0.01, n_mcmc=3000, burn_in=5000, x_values=None,
-                q_sd=1.0, sample_y=True, bs=10000, return_diagnostics=False):
+                q_sd=1.0, sample_y=True, bs=10000, return_diagnostics=False,
+                mesh=None):
         """Causal effects marginalising over weight AND latent uncertainty
         (fullmcmc.py:184-281).  ``return_diagnostics=True`` appends
         ESS / split-R-hat of the effect draw series (weight-redraw noise is
         part of each series, so ESS here reflects the PAIRED weight+latent
-        chain)."""
+        chain).  ``mesh`` shards the latent chains over the device mesh (see
+        :meth:`metropolis_hastings_sampler`); effect aggregation happens on
+        host from the gathered draws."""
         assert 0 < alpha < 1, "The significance level 'alpha' must be greater than 0 and less than 1."
         assert self.f_net_samples is not None, "Run run_mcmc_training() first."
         cfg = self.cfg
@@ -297,7 +328,8 @@ class FullMCMCCausalBGM(cb.CausalBGM):
             x_values = np.atleast_1d(np.asarray(x_values, dtype=float))
 
         print("MCMC Latent Variable Sampling ...")
-        z_draws = self.metropolis_hastings_sampler(data, burn_in=burn_in, n_keep=n_mcmc, q_sd=q_sd)
+        z_draws = self.metropolis_hastings_sampler(data, burn_in=burn_in, n_keep=n_mcmc,
+                                                   q_sd=q_sd, mesh=mesh)
         effects = self.infer_from_latent_posterior(z_draws, x_values=x_values, sample_y=sample_y)
         # effects: (n_mcmc, n) binary / (n_mcmc, len(x_values)) continuous
 

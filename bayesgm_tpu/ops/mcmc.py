@@ -508,11 +508,52 @@ def _mala_step(carry, key, value_and_grad_fn, adaptive, burn_in, target_rate,
     return (state, logp, grad, eps, window, t + 1), rate
 
 
+def _mala_step_fresh(carry, key, value_and_grad_fn, adaptive, burn_in,
+                     target_rate, tolerance, adjustment_interval, window_size):
+    """MALA step for STOCHASTIC targets (e.g. the flipout BNN posterior):
+    both the current state and the proposal are re-evaluated every step with
+    fresh, independent noise keys — nothing is cached across steps, mirroring
+    what ``adaptive_mh(recompute_current=True)`` does for random-walk MH.
+    Caching the current log-density (as :func:`_mala_step` does) would make
+    the chain sticky at lucky noise draws and bias the stationary law."""
+    state, eps, window, t = carry
+    k_cur, k_noise, k_unif, k_prop = jax.random.split(key, 4)
+
+    logp, grad = value_and_grad_fn(state, k_cur)
+    drift = 0.5 * eps**2 * grad
+    noise = eps * jax.random.normal(k_noise, state.shape, state.dtype)
+    proposed = state + drift + noise
+    logp_prop, grad_prop = value_and_grad_fn(proposed, k_prop)
+
+    fwd = proposed - state - drift
+    bwd = state - proposed - 0.5 * eps**2 * grad_prop
+    log_q_fwd = -jnp.sum(fwd**2, axis=-1) / (2.0 * eps**2)
+    log_q_bwd = -jnp.sum(bwd**2, axis=-1) / (2.0 * eps**2)
+    log_ratio = jnp.minimum(logp_prop - logp + log_q_bwd - log_q_fwd, 0.0)
+
+    accept = jnp.log(jax.random.uniform(k_unif, logp.shape)) < log_ratio
+    state = jnp.where(accept[:, None], proposed, state)
+
+    accept_frac = jnp.mean(accept.astype(jnp.float32))
+    window = window.at[t % window_size].set(accept_frac)
+    n_valid = jnp.minimum(t + 1, window_size).astype(jnp.float32)
+    rate = jnp.sum(window) / n_valid
+
+    def adjust(e):
+        e = jnp.where(rate < target_rate - tolerance, e * 0.9, e)
+        e = jnp.where(rate > target_rate + tolerance, e * 1.1, e)
+        return e
+
+    do_adjust = adaptive & (t < burn_in) & (t % adjustment_interval == 0) & (t > 0)
+    eps = jnp.where(do_adjust, adjust(eps), eps)
+    return (state, eps, window, t + 1), rate
+
+
 def adaptive_mala(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000,
                   n_keep: int = 3000, step_size: float = 0.1,
                   target_rate: float = 0.574, tolerance: float = 0.05,
                   adjustment_interval: int = 50, window_size: int = 100,
-                  adaptive: bool = True,
+                  adaptive: bool = True, recompute_current: bool = False,
                   collect: Optional[Callable] = None) -> MHResult:
     """Metropolis-adjusted Langevin over ``n`` independent chains.
 
@@ -520,6 +561,12 @@ def adaptive_mala(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000
     random-walk MH on concentrated posteriors: the step size adapts toward
     the MALA-optimal ~0.574 acceptance rate during burn-in.  Requires a
     differentiable ``log_prob_fn(state, key) -> (n,)``.
+
+    ``recompute_current=True`` re-evaluates BOTH sides of the accept ratio
+    with fresh keys every step (two value-and-grad calls per step) instead of
+    caching the accepted state's log-density/gradient — required when the
+    target itself is stochastic in ``key`` (the flipout BNN posterior), where
+    the cached variant's chain would stick at favorable noise draws.
     """
     def value_and_grad_fn(s, k):
         # One forward + one backward gives per-row values AND the gradient
@@ -529,12 +576,20 @@ def adaptive_mala(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000
         return logp, g
 
     k_init, key = jax.random.split(key)
-    logp0, grad0 = value_and_grad_fn(init_state, k_init)
 
-    step = partial(_mala_step, value_and_grad_fn=value_and_grad_fn,
-                   adaptive=jnp.asarray(adaptive), burn_in=burn_in,
-                   target_rate=target_rate, tolerance=tolerance,
-                   adjustment_interval=adjustment_interval, window_size=window_size)
+    if recompute_current:
+        step = partial(_mala_step_fresh, value_and_grad_fn=value_and_grad_fn,
+                       adaptive=jnp.asarray(adaptive), burn_in=burn_in,
+                       target_rate=target_rate, tolerance=tolerance,
+                       adjustment_interval=adjustment_interval,
+                       window_size=window_size)
+    else:
+        logp0, grad0 = value_and_grad_fn(init_state, k_init)
+        step = partial(_mala_step, value_and_grad_fn=value_and_grad_fn,
+                       adaptive=jnp.asarray(adaptive), burn_in=burn_in,
+                       target_rate=target_rate, tolerance=tolerance,
+                       adjustment_interval=adjustment_interval,
+                       window_size=window_size)
 
     @partial(jax.jit, static_argnames=("n_steps",))
     def burn_chunk(carry, chunk_key, n_steps):
@@ -557,8 +612,14 @@ def adaptive_mala(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000
         return carry, samples, rates[-1]
 
     window = jnp.zeros((window_size,), jnp.float32)
-    carry = (init_state, logp0, grad0, jnp.asarray(step_size, jnp.float32),
-             window, jnp.asarray(0, jnp.int32))
+    if recompute_current:
+        carry = (init_state, jnp.asarray(step_size, jnp.float32),
+                 window, jnp.asarray(0, jnp.int32))
+        eps_idx = 1
+    else:
+        carry = (init_state, logp0, grad0, jnp.asarray(step_size, jnp.float32),
+                 window, jnp.asarray(0, jnp.int32))
+        eps_idx = 3
 
     rate = jnp.asarray(0.0)
     done = 0
@@ -579,7 +640,7 @@ def adaptive_mala(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000
 
     stacked = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *chunks) \
         if len(chunks) > 1 else chunks[0]
-    return MHResult(samples=stacked, q_sd=carry[3], accept_rate=rate)
+    return MHResult(samples=stacked, q_sd=carry[eps_idx], accept_rate=rate)
 
 
 # ---------------------------------------------------------------------------

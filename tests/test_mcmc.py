@@ -84,6 +84,32 @@ def test_adaptive_mala_recovers_standard_normal():
     assert 0.4 < float(samples_res.accept_rate) <= 1.0
 
 
+def test_adaptive_mala_recompute_recovers_standard_normal():
+    """Fresh-noise MALA (recompute_current=True, the stochastic-target mode)
+    still targets the right stationary law: on a NOISY unbiased estimate of a
+    standard-normal log-density (a pseudo-marginal-style target) the draws
+    recover the prior moments, and on the deterministic target it matches the
+    cached variant's law."""
+    def noisy_logp(s, k):
+        # Unbiased-in-expectation jitter on a standard normal log-density.
+        return _std_normal_logp(s, k) + 0.05 * jax.random.normal(k, (s.shape[0],))
+
+    res = mcmc.adaptive_mala(
+        noisy_logp, jnp.zeros((64, 3)), jax.random.PRNGKey(7),
+        burn_in=300, n_keep=1500, step_size=0.5, recompute_current=True)
+    samples = np.asarray(res.samples).reshape(-1, 3)
+    np.testing.assert_allclose(samples.mean(axis=0), 0.0, atol=0.1)
+    np.testing.assert_allclose(samples.std(axis=0), 1.0, atol=0.12)
+    assert 0.3 < float(res.accept_rate) <= 1.0
+
+    res_det = mcmc.adaptive_mala(
+        _std_normal_logp, jnp.zeros((64, 3)), jax.random.PRNGKey(8),
+        burn_in=300, n_keep=1500, step_size=0.5, recompute_current=True)
+    det = np.asarray(res_det.samples).reshape(-1, 3)
+    np.testing.assert_allclose(det.mean(axis=0), 0.0, atol=0.1)
+    np.testing.assert_allclose(det.std(axis=0), 1.0, atol=0.1)
+
+
 def test_adaptive_mh_params_mode_matches_closure_mode():
     """Explicit-params mode (jit-cacheable chains) is bit-identical to the
     closure mode given the same key chain."""

@@ -273,13 +273,17 @@ def test_causalbgm_predict_diagnostics(causal_data, tmp_path):
     assert diag["rhat"].shape == (n,) and 0.0 <= diag["accept_rate"] <= 1.0
 
 
-def test_causalbgm_mala_rejects_bnn(causal_data, tmp_path):
-    """MALA caches the current log-density across steps, which is only
-    valid for deterministic targets — the stochastic flipout posterior must
-    be refused (the MH path re-evaluates both sides per step instead)."""
+def test_causalbgm_mala_bnn_runs_fresh_noise(causal_data, tmp_path):
+    """BNN-MALA: the stochastic flipout target runs under sampler='mala' via
+    the fresh-noise variant (recompute_current) — both sides of the accept
+    ratio re-evaluated each step, so the chain cannot stick at lucky weight
+    draws.  On TPU each evaluation is one fused forward+backward kernel
+    launch; on CPU it autodiffs the XLA composite."""
     x, y, v = causal_data
     m = CausalBGM(_causal_params(tmpdir=str(tmp_path), use_bnn=True), random_seed=2)
     m.fit((x, y, v), epochs=1, epochs_per_eval=1, batch_size=16,
           use_egm_init=False, verbose=0)
-    with pytest.raises(ValueError, match="mala.*deterministic|deterministic.*mala"):
-        m.predict((x, y, v), n_mcmc=5, burn_in=5, x_values=[0.5], sampler="mala")
+    adrf, ci = m.predict((x, y, v), alpha=0.1, n_mcmc=10, burn_in=20,
+                         x_values=[0.5, 1.5], sampler="mala")
+    assert adrf.shape == (2,) and ci.shape == (2, 2)
+    assert np.all(np.isfinite(adrf)) and np.all(ci[:, 0] <= ci[:, 1])

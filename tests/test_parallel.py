@@ -228,3 +228,38 @@ def test_mesh_fused_latent_vg_replicated(tmp_path):
     neg_m, grad_m = vg_mesh(bz, bx, by, bv, m.nets, key)
     np.testing.assert_allclose(np.asarray(neg_m), np.asarray(neg_s), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(grad_m), np.asarray(grad_s), rtol=1e-5)
+
+
+def test_fullmcmc_mesh_predict_matches_single_device(tmp_path):
+    """VERDICT r3 item 4: FullMCMCCausalBGM accepts mesh= end-to-end —
+    weight-HMC with row-sharded conditioning data, then mesh-sharded latent
+    MH predict — matching the single-device numerics (same seeds -> same key
+    chain; the per-step weight index derives from the replicated key, so
+    every shard conditions on the same weight draw)."""
+    from bayesgm_tpu.models.fullmcmc import FullMCMCCausalBGM
+
+    data = _hi_like_data(n=64, v_dim=6)
+    params = dict(v_dim=6, z_dims=[1, 1, 1, 2], binary_treatment=False,
+                  dataset="mesh_fullmcmc", output_dir=str(tmp_path),
+                  g_units=[8], e_units=[8], f_units=[8], h_units=[8], dz_units=[8],
+                  save_res=False, save_model=False)
+
+    def run(mesh):
+        m = FullMCMCCausalBGM(params, random_seed=13)
+        m.fit(data, epochs=1, epochs_per_eval=1, batch_size=16,
+              use_egm_init=False, verbose=0, mesh=mesh)
+        m.run_mcmc_training(data, num_samples=8, num_burnin=8, mesh=mesh)
+        adrf, ci = m.predict(data, alpha=0.2, n_mcmc=10, burn_in=10,
+                             x_values=[0.5, 1.0], q_sd=1.0, mesh=mesh)
+        return m, adrf, ci
+
+    m8, adrf8, ci8 = run(make_mesh(8))
+    m1, adrf1, ci1 = run(None)
+
+    for name in ("g", "h", "f"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(m8, f"{name}_net_samples")),
+            np.asarray(getattr(m1, f"{name}_net_samples")), rtol=2e-3, atol=2e-4)
+    assert adrf8.shape == (2,) and ci8.shape == (2, 2)
+    np.testing.assert_allclose(adrf8, adrf1, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(ci8, ci1, rtol=2e-3, atol=2e-3)
