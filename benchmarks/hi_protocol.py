@@ -33,7 +33,7 @@ def run_seed(seed, args):
     x, y, v = Sim_Hirano_Imbens_sampler(N=20000, v_dim=200, seed=args.data_seed).load_all()
 
     params = dict(
-        v_dim=200, z_dims=[1, 1, 1, 7], binary_treatment=False,
+        v_dim=200, z_dims=list(args.z_dims), binary_treatment=False,
         dataset="HI_protocol", output_dir=args.output_dir,
         use_bnn=not args.no_bnn, save_res=False, save_model=False,
         kl_weight=args.kl_weight, lr=args.lr, lr_theta=args.lr_theta,
@@ -119,6 +119,7 @@ def main():
     p.add_argument("--lr_theta", type=float, default=1e-4)
     p.add_argument("--lr_z", type=float, default=1e-4)
     p.add_argument("--use_z_rec", type=float, default=1.0)
+    p.add_argument("--z_dims", type=int, nargs="+", default=[1, 1, 1, 7])
     p.add_argument("--lr_decay", type=str, default=None,
                    choices=[None, "cosine", "linear"])
     p.add_argument("--sigma_v", type=float, default=None)
