@@ -94,6 +94,66 @@ def make_resample_collector(cfg, x_values, sample_y, resample):
     return collect_p
 
 
+def make_dr_collector(cfg, x_values, h_bw, gps_floor=1e-3):
+    """Doubly-robust (kernel-AIPW) ADRF collector, computed per kept MCMC
+    step entirely in-chain.
+
+    For each grid point x*, per draw z:
+        plugin(x*) = mean_i f_mean(z_i, x*)
+        resid_i    = y_i - f_mean(z_i, x_i)
+        gps_i(x*)  = Normal(x*; mu_x(z_i), sigma_x(z_i)) density (the h net
+                     IS a generalized propensity model)
+        w_i(x*)    = K_h(x_i - x*) / max(gps_i, gps_floor)
+        dr_ipw     = plugin + mean_i w_i resid_i
+        dr_hajek   = plugin + sum_i w_i resid_i / sum_i w_i
+
+    Returns a (3, len(grid)) array per step: [plugin, dr_ipw, dr_hajek].
+    The correction term is the Colangelo-Lee kernel-DML form with the
+    model's own posterior latents standing in for the cross-fitted nuisance
+    estimates; it is consistent if EITHER the outcome head f or the
+    propensity head h is well-specified.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from bayesgm_tpu.models.causalbgm import _apply, _sigma_sq, _split_z
+
+    xv = jnp.asarray(x_values, jnp.float32)
+    h_bw = jnp.float32(h_bw)
+
+    def collect_p(params, z, key):
+        nets = params["nets"]
+        x, y, v = params["data"]
+        z0, z1, z2 = _split_z(cfg, z)
+        kf, kh, key = jax.random.split(key, 3)
+        f_obs = _apply(cfg, nets["f"],
+                       jnp.concatenate([z0, z1, x], axis=-1), kf)
+        resid = y[:, 0] - f_obs[:, 0]
+        h_out = _apply(cfg, nets["h"],
+                       jnp.concatenate([z0, z2], axis=-1), kh)
+        mu_x = h_out[:, 0]
+        s2x = _sigma_sq(cfg.sigma_x, h_out[:, 1])
+        keys = jax.random.split(key, xv.shape[0])
+
+        def per_x(x_s, k):
+            col = jnp.full((z.shape[0], 1), x_s, jnp.float32)
+            mu = _apply(cfg, nets["f"],
+                        jnp.concatenate([z0, z1, col], axis=-1), k)[:, 0]
+            plugin = jnp.mean(mu)
+            gps = jnp.exp(-0.5 * (x_s - mu_x) ** 2 / s2x) / jnp.sqrt(
+                2.0 * jnp.pi * s2x)
+            kern = jnp.exp(-0.5 * ((x[:, 0] - x_s) / h_bw) ** 2) / (
+                h_bw * jnp.sqrt(2.0 * jnp.pi))
+            w = kern / jnp.maximum(gps, gps_floor)
+            corr_ipw = jnp.mean(w * resid)
+            corr_haj = jnp.sum(w * resid) / jnp.maximum(jnp.sum(w), 1e-12)
+            return jnp.stack([plugin, plugin + corr_ipw, plugin + corr_haj])
+
+        return jax.vmap(per_x)(xv, keys).T  # (3, len(grid))
+
+    return collect_p
+
+
 def make_noy_log_prob(cfg, nets, x, y, v):
     """XLA-composite MH target with the y-likelihood term REMOVED: the chain
     conditions on (x, v) only.  Mirrors causalbgm._neg_log_posterior_rows
@@ -207,6 +267,8 @@ def main():
     p.add_argument("--burn_in", type=int, default=5000)
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (smoke runs)")
+    p.add_argument("--dr_bw_scale", type=float, default=1.0,
+                   help="multiplier on the Silverman bandwidth for variant G")
     args = p.parse_args()
 
     if args.cpu:
@@ -270,6 +332,20 @@ def main():
                                                 collector=col, noy=True,
                                                 **mcmc_kw)
                 record("D", draws.mean(axis=1), time.time() - t0, rate)
+            elif variant == "G":
+                h_bw = (args.dr_bw_scale * 1.06 * float(np.std(x))
+                        * len(x) ** (-0.2))
+                col = make_dr_collector(cfg, grid, h_bw)
+                draws, rate = run_chain_variant(model, (x, y, v), grid,
+                                                collector=col, **mcmc_kw)
+                # draws comes back transposed: (3, len(grid), n_mcmc) ->
+                # run_chain_variant returns samples.T, i.e. the stacked
+                # (n_mcmc, 3, grid) pytree transposed on the outer axes;
+                # recover by averaging over the draw axis directly.
+                arr = np.asarray(draws)  # (grid, 3, n_mcmc) after .T
+                mean3 = arr.mean(axis=-1)  # (grid, 3)
+                for j, name in enumerate(["G_plugin", "G_ipw", "G_hajek"]):
+                    record(name, mean3[:, j], time.time() - t0, rate)
             elif variant == "E":
                 import jax
 
