@@ -49,6 +49,37 @@ def build_model(seed, args):
         use_bnn=True, save_res=False, save_model=False,
         kl_weight=1e-4, lr=2e-4, lr_theta=1e-4, lr_z=1e-4,
         use_z_rec=1.0, lr_decay=args.lr_decay)
+    if args.latent_y_weight is not None:
+        # Training-time leak probe: downweight the y-likelihood term in the
+        # LATENT-TABLE update only (f/h/g net updates unchanged) so Z stops
+        # co-adapting to the observed outcome noise.  Patches the XLA latent
+        # loss; the fused Pallas latent kernel computes the full posterior,
+        # so it is disabled for these runs.
+        import jax.numpy as jnp
+
+        import bayesgm_tpu.models.causalbgm as cb
+
+        params["use_pallas_latent"] = False
+        w = float(args.latent_y_weight)
+        if not getattr(cb, "_y_weight_patched", False):
+            cb._orig_neg_log_posterior_rows = cb._neg_log_posterior_rows
+
+            def weighted_latent_loss(cfg, nets, z, x, y, v, key):
+                full = cb._orig_neg_log_posterior_rows(cfg, nets, z, x, y,
+                                                       v, key)
+                _, _, kf = __import__("jax").random.split(key, 3)
+                z0, z1, _ = cb._split_z(cfg, z)
+                f_out = cb._apply(cfg, nets["f"],
+                                  jnp.concatenate([z0, z1, x], axis=-1), kf)
+                from bayesgm_tpu.ops import distributions as dist
+
+                loss_py = dist.gaussian_nll_iso(
+                    y, f_out[:, :1], cb._sigma_sq(cfg.sigma_y, f_out[:, -1]), 1)
+                return jnp.mean(full - (1.0 - cb._LATENT_Y_WEIGHT[0]) * loss_py)
+
+            cb._latent_loss = weighted_latent_loss
+            cb._y_weight_patched = True
+        cb._LATENT_Y_WEIGHT = [w]
     return CausalBGM(params, random_seed=seed)
 
 
@@ -269,6 +300,10 @@ def main():
                    help="force the CPU backend (smoke runs)")
     p.add_argument("--dr_bw_scale", type=float, default=1.0,
                    help="multiplier on the Silverman bandwidth for variant G")
+    p.add_argument("--latent_y_weight", type=float, default=None,
+                   help="weight on the y-likelihood in the latent-table "
+                        "update (training-time leak probe; forces the XLA "
+                        "latent path)")
     args = p.parse_args()
 
     if args.cpu:
