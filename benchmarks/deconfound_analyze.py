@@ -29,8 +29,9 @@ def main(path):
     grid = np.asarray(rows[0]["grid"])
     true = get_ADRF(x_values=grid, dataset="Imbens")
 
-    order = [v for v in ["A", "B", "B0", "C", "D", "E", "F"]
-             if v in by_variant] + sorted(set(by_variant) - set("AB B0 C D E F".split()))
+    known = ["A", "B", "B0", "C", "D", "E", "F"]
+    order = ([v for v in known if v in by_variant]
+             + sorted(set(by_variant) - set(known)))
 
     print(f"{'variant':8s} {'n':>3s} {'median':>8s} {'mean':>8s} {'min':>8s} "
           f"{'max':>8s} {'biasRMSE':>9s} {'sdRMSE':>8s} {'corrA':>6s}")
