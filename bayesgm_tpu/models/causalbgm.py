@@ -409,6 +409,61 @@ def _effect_collector_p(cfg: CBGMConfig, x_values, sample_y: bool):
     return collect_p
 
 
+def _dr_effect_collector_p(cfg: CBGMConfig, x_values, h_bw: float,
+                           gps_floor: float = 1e-3):
+    """Doubly-robust (kernel-AIPW) ADRF collector, per kept MCMC step.
+
+    Augments the plugin g-computation with the Colangelo–Lee kernel-DML
+    correction, using the model's own heads as the nuisance estimates: the
+    outcome head ``f`` supplies residuals ``y_i - f_mean(z_i, x_i)`` and the
+    treatment head ``h`` IS a generalized-propensity model
+    ``x | z ~ N(mu_x(z), sigma_x(z))``.  Per grid point x*:
+
+        plugin(x*) = mean_i f_mean(z_i, x*)
+        w_i(x*)    = K_h(x_i - x*) / max(gps_i(x*), gps_floor)
+        dr(x*)     = plugin(x*) + sum_i w_i resid_i / sum_i w_i   (Hajek)
+
+    The Hajek (self-normalized) form is used: raw IPW weights are unstable
+    under thin GPS tails (measured in benchmarks/deconfound_study.py).  The
+    estimate is consistent if EITHER head is well-specified, which removes
+    the plugin's shared f-misfit bias at the cost of kernel-smoothing
+    variance.  Continuous treatment only; the correction is evaluated inside
+    the chain scan so the collected draws carry posterior-latent uncertainty
+    through both terms.  Not in the reference (its predict is plugin-only,
+    base.py:671-763).
+    """
+    xv = jnp.asarray(x_values, jnp.float32)
+    h_bw = jnp.float32(h_bw)
+
+    def collect_p(params, z, key):
+        nets = params["nets"]
+        x, y, _ = params["data"]
+        z0, z1, z2 = _split_z(cfg, z)
+        kf, kh, key = jax.random.split(key, 3)
+        f_obs = _apply(cfg, nets["f"],
+                       jnp.concatenate([z0, z1, x], axis=-1), kf)
+        resid = y[:, 0] - f_obs[:, 0]
+        h_out = _apply(cfg, nets["h"], jnp.concatenate([z0, z2], axis=-1), kh)
+        mu_x = h_out[:, 0]
+        s2x = _sigma_sq(cfg.sigma_x, h_out[:, -1])
+        keys = jax.random.split(key, xv.shape[0])
+
+        def per_x(x_s, k):
+            col = jnp.full((z.shape[0], 1), x_s, jnp.float32)
+            mu = _apply(cfg, nets["f"],
+                        jnp.concatenate([z0, z1, col], axis=-1), k)[:, 0]
+            plugin = jnp.mean(mu)
+            gps = jnp.exp(-0.5 * (x_s - mu_x) ** 2 / s2x) / jnp.sqrt(
+                2.0 * jnp.pi * s2x)
+            kern = jnp.exp(-0.5 * ((x[:, 0] - x_s) / h_bw) ** 2)
+            w = kern / jnp.maximum(gps, gps_floor)
+            return plugin + jnp.sum(w * resid) / jnp.maximum(jnp.sum(w), 1e-12)
+
+        return jax.vmap(per_x)(xv, keys)
+
+    return collect_p
+
+
 # ---------------------------------------------------------------------------
 # Model class
 # ---------------------------------------------------------------------------
@@ -1331,7 +1386,8 @@ class CausalBGM:
     def predict(self, data, alpha=0.01, n_mcmc=3000, burn_in=5000, x_values=None,
                 q_sd=1.0, sample_y=True, bs=10000, sampler="mh",
                 use_best_nets=False, use_swa_nets=False, mesh=None,
-                return_diagnostics=False, return_draws=False):
+                return_diagnostics=False, return_draws=False,
+                estimator="plugin", dr_bw=None, dr_gps_floor=1e-3):
         """Causal effects with posterior intervals from latent MCMC
         (reference predict, base.py:573-668).
 
@@ -1365,6 +1421,16 @@ class CausalBGM:
         subjects, so chains scale linearly with chips; the only cross-chip
         traffic is the scalar windowed acceptance rate and the final effect
         reductions.
+
+        ``estimator="dr"`` (continuous treatment, ``sampler="mh"`` only;
+        beyond-reference) replaces the plugin g-computation with the
+        doubly-robust kernel-AIPW form per kept step — see
+        ``_dr_effect_collector_p``.  ``dr_bw`` is the treatment-kernel
+        bandwidth (default: Silverman ``1.06 std(x) n^{-1/5}`` on the full
+        test sample, shared across subject batches so every batch estimates
+        the same functional); ``dr_gps_floor`` clips thin generalized-
+        propensity tails.  ``sample_y`` is ignored: DR targets the mean dose-
+        response, not the posterior predictive.
         """
         assert 0 < alpha < 1, "The significance level 'alpha' must be greater than 0 and less than 1."
         cfg = self.cfg
@@ -1412,12 +1478,33 @@ class CausalBGM:
             multi_step = (make_multi_step(50)
                           if use_window_kernel and make_multi_step is not None
                           else None)
-            collect_p = _effect_collector_p(cfg, x_values, sample_y)
+            if estimator == "dr":
+                if cfg.binary_treatment:
+                    raise ValueError(
+                        "estimator='dr' supports continuous treatment only "
+                        "(the kernel-AIPW correction targets the ADRF).")
+                if dr_bw is None:
+                    dr_bw = float(1.06 * np.std(data_x)
+                                  * max(n_test, 2) ** (-0.2))
+                collect_p = _dr_effect_collector_p(cfg, x_values,
+                                                   float(dr_bw),
+                                                   float(dr_gps_floor))
+            elif estimator != "plugin":
+                raise ValueError(f"Unknown estimator: {estimator!r} "
+                                 "(expected 'plugin' or 'dr').")
+            else:
+                collect_p = _effect_collector_p(cfg, x_values, sample_y)
             xv_key = None if x_values is None else tuple(np.asarray(x_values).tolist())
             jit_cache = self._jit_cache(
-                ("mh_chain_jit", xv_key, bool(sample_y),
+                ("mh_chain_jit", xv_key, bool(sample_y), estimator,
+                 None if estimator != "dr" else (float(dr_bw),
+                                                 float(dr_gps_floor)),
                  None if mesh is None else str(mesh)), dict)
         else:
+            if estimator != "plugin":
+                raise ValueError(
+                    "estimator='dr' requires sampler='mh' (the params-mode "
+                    "chain carries the observed (x, y) the correction needs).")
             collect = _effect_collector(cfg, nets, x_values, sample_y)
 
         def run_batch(bx, by, bv):

@@ -337,6 +337,7 @@ def main():
 
         def record(variant, adrf, t_s, accept=None):
             emit(dict(seed=seed, variant=variant, data_seed=args.data_seed,
+                      latent_y_weight=args.latent_y_weight,
                       t_fit=round(t_fit, 1), t_s=round(t_s, 1),
                       accept=accept,
                       rmse=float(np.sqrt(np.mean((adrf - true) ** 2))),

@@ -154,3 +154,71 @@ def test_ensemble_pools_member_draws(fitted_causal, tmp_path):
     assert np.all(iv[:, 0] <= pt) and np.all(pt <= iv[:, 1])
     assert diag["ess"].shape == (2,) and diag["rhat"].shape == (2,)
     assert 0.0 <= diag["accept_rate"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Doubly-robust (kernel-AIPW) estimator
+# ---------------------------------------------------------------------------
+
+
+def test_dr_estimator_corrects_plugin_bias(fitted_causal):
+    """estimator='dr' returns the same shapes as the plugin path, stays
+    finite, and — the point of double robustness — recovers the true ADRF
+    (y = x + v2 + noise, so ADRF(x) = x) far better than the plugin on this
+    deliberately under-trained model, because the residual correction fixes
+    the outcome head's bias."""
+    m, data = fitted_causal
+    truth = np.array([0.5, 1.5])
+    kw = dict(alpha=0.1, n_mcmc=200, burn_in=200, x_values=list(truth),
+              q_sd=1.0)
+    plugin, _ = m.predict(data, sample_y=False, **kw)
+    dr, iv = m.predict(data, estimator="dr", **kw)
+    assert dr.shape == (2,) and iv.shape == (2, 2)
+    assert np.all(np.isfinite(dr)) and np.all(np.isfinite(iv))
+    assert np.all(iv[:, 0] <= iv[:, 1])
+    assert np.all(np.abs(dr - truth) < np.abs(plugin - truth)), (dr, plugin)
+    assert np.all(np.abs(dr - truth) < 0.5), dr
+
+
+def test_dr_collector_zero_residual_equals_plugin(fitted_causal):
+    """With y set to the model's own fitted means, residuals vanish and the
+    DR collector must reduce to the plugin g-computation exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from bayesgm_tpu.models.causalbgm import (_apply, _dr_effect_collector_p,
+                                              _effect_collector_p, _split_z)
+
+    m, (x, y, v) = fitted_causal
+    cfg = m.cfg
+    z = np.random.RandomState(0).randn(len(x), sum(cfg.z_dims)).astype("f4")
+    key = jax.random.PRNGKey(7)
+    kf, _, _ = jax.random.split(key, 3)  # collectors split (kf, kh, rest)
+    z0, z1, _ = _split_z(cfg, jnp.asarray(z))
+    y_hat = np.asarray(_apply(cfg, m.nets["f"],
+                              jnp.concatenate([z0, z1, x], axis=-1), kf)[:, :1])
+    params = {"nets": m.nets, "data": (jnp.asarray(x), jnp.asarray(y_hat),
+                                       jnp.asarray(v))}
+    grid = [0.5, 1.5]
+    dr = _dr_effect_collector_p(cfg, grid, h_bw=0.5)(params, jnp.asarray(z), key)
+    plugin = _effect_collector_p(cfg, grid, sample_y=False)(params, jnp.asarray(z), key)
+    np.testing.assert_allclose(np.asarray(dr), np.asarray(plugin),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_dr_estimator_guards(fitted_causal, tmp_path):
+    m, data = fitted_causal
+    with pytest.raises(ValueError, match="Unknown estimator"):
+        m.predict(data, estimator="nope", n_mcmc=10, burn_in=10,
+                  x_values=[1.0])
+    with pytest.raises(ValueError, match="sampler='mh'"):
+        m.predict(data, estimator="dr", sampler="mala", n_mcmc=10,
+                  burn_in=10, x_values=[1.0])
+    pb = dict(v_dim=4, z_dims=[1, 1, 1, 2], binary_treatment=True,
+              dataset="dr_bin", output_dir=str(tmp_path),
+              use_bnn=False, save_res=False, save_model=False)
+    mb = CausalBGM(pb, random_seed=2)
+    xb = (np.asarray(data[0]) > 0).astype("float32")
+    with pytest.raises(ValueError, match="continuous treatment only"):
+        mb.predict((xb, data[1], data[2]), estimator="dr", n_mcmc=10,
+                   burn_in=10)
