@@ -1,0 +1,111 @@
+"""Run the REFERENCE bayesgm CausalBGM (from /root/reference, read-only)
+at the exact flagship Hirano-Imbens protocol, multi-seed, on CPU — via the
+minimal TFP shim in tfp_shim.py.
+
+Purpose: the reference's published flagship ADRF RMSE (0.0188,
+docs/source/causalbgm/tutorial_py.ipynb cell 18) is a single run with
+``random_seed=None``.  This measures the reference implementation's own
+seed distribution at the same protocol and on the same data draw
+(Sim_Hirano_Imbens seed=0) used by this repo's campaigns (RESULTS.md
+"Flagship accuracy campaign"), making the two distributions directly
+comparable.
+
+Protocol (tutorial_py.ipynb cells 9-18 / configs/Sim_Hirano_Imbens.yaml):
+n=20000, v_dim=200, z_dims=[1,1,1,7], use_bnn=True, EGM 30000 iters,
+100 epochs, predict n_mcmc=3000, burn_in=5000, q_sd=1.0, bs=20000,
+x_values=linspace(0,3,20).  Truth: ADRF(x) = x + 2/(1+x)^3
+(reference utils/helpers.py:59-64).
+
+Usage:
+    python benchmarks/refrun/run_reference_hi.py --seeds 123 456 \
+        --out benchmarks/artifacts/ref_hi_r3.jsonl
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ["TF_USE_LEGACY_KERAS"] = "1"  # reference targets Keras 2
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "1")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import tfp_shim  # noqa: E402
+
+sys.modules["tensorflow_probability"] = tfp_shim
+sys.path.insert(0, "/root/reference/src")
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--seeds", type=int, nargs="+", default=[123, 456])
+    p.add_argument("--data_seed", type=int, default=0)
+    p.add_argument("--n", type=int, default=20000)
+    p.add_argument("--v_dim", type=int, default=200)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--egm", type=int, default=30000)
+    p.add_argument("--n_mcmc", type=int, default=3000)
+    p.add_argument("--burn_in", type=int, default=5000)
+    p.add_argument("--out", default="benchmarks/artifacts/ref_hi_r3.jsonl")
+    p.add_argument("--smoke", action="store_true",
+                   help="tiny end-to-end mechanics check")
+    args = p.parse_args()
+
+    from bayesgm.datasets import Sim_Hirano_Imbens_sampler
+    from bayesgm.models import CausalBGM
+
+    if args.smoke:
+        args.n, args.v_dim = 500, 10
+        args.epochs, args.egm = 2, 100
+        args.n_mcmc, args.burn_in = 50, 50
+
+    x, y, v = Sim_Hirano_Imbens_sampler(
+        batch_size=32, N=args.n, v_dim=args.v_dim,
+        seed=args.data_seed).load_all()
+    grid = np.linspace(0, 3, 20)
+    true = grid + 2.0 / (1.0 + grid) ** 3
+
+    params = dict(
+        dataset="Sim_Hirano_Imbens", output_dir="/tmp/refrun",
+        save_res=False, save_model=False, binary_treatment=False,
+        use_bnn=True, z_dims=[1, 1, 1, 7], v_dim=args.v_dim,
+        lr_theta=0.0001, lr_z=0.0001,
+        g_units=[64, 64, 64, 64, 64], f_units=[64, 32, 8],
+        h_units=[64, 32, 8], kl_weight=0.0001, lr=0.0002, g_d_freq=5,
+        use_z_rec=True, e_units=[64, 64, 64, 64, 64],
+        dz_units=[64, 32, 8])
+
+    for seed in args.seeds:
+        model = CausalBGM(params=params, random_seed=seed)
+        t0 = time.time()
+        model.fit(data=(x, y, v), epochs=args.epochs, epochs_per_eval=10,
+                  use_egm_init=True, egm_n_iter=args.egm,
+                  egm_batches_per_eval=500, verbose=1)
+        t_fit = time.time() - t0
+        t0 = time.time()
+        adrf, adrf_pi = model.predict(
+            data=(x, y, v), alpha=0.01, n_mcmc=args.n_mcmc,
+            burn_in=args.burn_in, x_values=grid, q_sd=1.0, bs=args.n)
+        t_predict = time.time() - t0
+        adrf = np.asarray(adrf, np.float64)
+        rec = dict(seed=seed, data_seed=args.data_seed, n=args.n,
+                   v_dim=args.v_dim, epochs=args.epochs, egm=args.egm,
+                   n_mcmc=args.n_mcmc, burn_in=args.burn_in,
+                   rmse=float(np.sqrt(np.mean((adrf - true) ** 2))),
+                   t_fit=round(t_fit, 1), t_predict=round(t_predict, 1),
+                   adrf=[float(a) for a in adrf],
+                   grid=[float(g) for g in grid])
+        with open(args.out, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps({k: rec[k] for k in
+                          ("seed", "rmse", "t_fit", "t_predict")}),
+              flush=True)
+
+    print("done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
