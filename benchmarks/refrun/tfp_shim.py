@@ -19,9 +19,10 @@ time).  Everything else raises on use.
 DenseFlipout semantics follow TFP 0.18's documented defaults:
 
 - kernel posterior: mean-field Normal; ``loc`` init N(0, 0.1); scale
-  parametrized ``eps + softplus(rho + log(expm1(1)))`` with ``rho`` init
-  N(-3, 0.1)  (tfp.layers.util.default_mean_field_normal_fn /
-  default_loc_scale_fn).
+  parametrized ``eps + softplus(rho)`` with ``rho`` init N(-3, 0.1)
+  (tfp.layers.util.default_mean_field_normal_fn / default_loc_scale_fn;
+  init scale ~= 0.0486 — the same convention as bayesgm_tpu's validated
+  ops/nn.py flipout).
 - kernel prior: N(0, 1) per weight unless a ``kernel_prior_fn`` is passed
   (the reference's variational nets pass Independent(Normal(0, 0.1))).
 - bias posterior: Deterministic (``is_singular=True`` default), loc init
@@ -42,8 +43,6 @@ import numpy as np
 import tensorflow as tf
 
 _LOG_2PI = float(np.log(2.0 * np.pi))
-# softplus shift so that rho=0 gives scale ~= 1 (TFP default_loc_scale_fn)
-_RHO_SHIFT = float(np.log(np.expm1(1.0)))
 _EPS = float(np.finfo(np.float32).eps)
 
 
@@ -168,7 +167,7 @@ class DenseFlipout(tf.keras.layers.Layer):
         super().build(input_shape)
 
     def _posterior_scale(self):
-        return _EPS + tf.nn.softplus(self.kernel_rho + _RHO_SHIFT)
+        return _EPS + tf.nn.softplus(self.kernel_rho)
 
     def _kl(self):
         s = self._posterior_scale()
