@@ -931,16 +931,22 @@ class CausalBGM:
         block = max(8, ((batch_size + 7) // 8) * 8)
         try:
             if cfg.use_bnn:
-                fused = pk.make_fused_causal_logp_and_grad_bnn(
+                fused = pk.make_fused_causal_logp_and_grad_bnn_hosteps(
                     cfg, pk.flipout_mlp_layer_dims(self.nets["g"]),
                     pk.flipout_mlp_layer_dims(self.nets["h"]),
                     pk.flipout_mlp_layer_dims(self.nets["f"]), block_rows=block)
 
                 def vg(bz, bx, by, bv, nets, key):
-                    return fused(bz, bx, by, bv, pk.key_to_seed(key),
-                                 pk.flatten_flipout_params(nets["g"]),
-                                 pk.flatten_flipout_params(nets["h"]),
-                                 pk.flatten_flipout_params(nets["f"]))
+                    gw, gs = pk.split_flipout_flat(
+                        pk.flatten_flipout_params(nets["g"]))
+                    hw, hs = pk.split_flipout_flat(
+                        pk.flatten_flipout_params(nets["h"]))
+                    fw, fs = pk.split_flipout_flat(
+                        pk.flatten_flipout_params(nets["f"]))
+                    k_eps, k_sig = jax.random.split(key)
+                    ps = pk.flipout_step_perturbations(gs + hs + fs, k_eps)
+                    return fused(bz, bx, by, bv, pk.key_to_seed(k_sig),
+                                 gw, hw, fw, ps)
 
             else:
                 fused = pk.make_fused_causal_logp_and_grad(
@@ -1047,37 +1053,45 @@ class CausalBGM:
             if not pk.on_tpu():
                 return xla_log_prob
             try:
-                gf = pk.flatten_flipout_params(nets["g"])
-                hf = pk.flatten_flipout_params(nets["h"])
-                ff = pk.flatten_flipout_params(nets["f"])
+                gw, gs = pk.split_flipout_flat(pk.flatten_flipout_params(nets["g"]))
+                hw, hs = pk.split_flipout_flat(pk.flatten_flipout_params(nets["h"]))
+                fw, fs = pk.split_flipout_flat(pk.flatten_flipout_params(nets["f"]))
+                sigs = gs + hs + fs
                 dims = (pk.flipout_mlp_layer_dims(nets["g"]),
                         pk.flipout_mlp_layer_dims(nets["h"]),
                         pk.flipout_mlp_layer_dims(nets["f"]))
                 if not differentiable:
-                    fused = maybe_shard(pk.make_fused_causal_logp_bnn(cfg, *dims),
-                                        4, seed_arg=4)
+                    fused = maybe_shard(
+                        pk.make_fused_causal_logp_bnn_hosteps(cfg, *dims),
+                        4, seed_arg=4)
 
                     def fused_bnn_log_prob(z, key):
+                        k_eps, k_sig = jax.random.split(key)
+                        ps = pk.flipout_step_perturbations(sigs, k_eps)
                         return -fused(z, data_x, data_y, data_v,
-                                      pk.key_to_seed(key), gf, hf, ff)
+                                      pk.key_to_seed(k_sig), gw, hw, fw, ps)
 
                     return fused_bnn_log_prob
 
                 # Gradient samplers (MALA/HMC): the fused forward+backward
                 # kernel differentiates through the SAME weight-noise draw.
                 fused_vg = maybe_shard(
-                    pk.make_fused_causal_logp_and_grad_bnn(cfg, *dims),
+                    pk.make_fused_causal_logp_and_grad_bnn_hosteps(cfg, *dims),
                     4, seed_arg=4)
+
+                def run_vg(z, key):
+                    k_eps, k_sig = jax.random.split(key)
+                    ps = pk.flipout_step_perturbations(sigs, k_eps)
+                    return fused_vg(z, data_x, data_y, data_v,
+                                    pk.key_to_seed(k_sig), gw, hw, fw, ps)
 
                 @jax.custom_vjp
                 def log_prob(z, key):
-                    neg, _ = fused_vg(z, data_x, data_y, data_v,
-                                      pk.key_to_seed(key), gf, hf, ff)
+                    neg, _ = run_vg(z, key)
                     return -neg
 
                 def fwd(z, key):
-                    neg, grad_neg = fused_vg(z, data_x, data_y, data_v,
-                                             pk.key_to_seed(key), gf, hf, ff)
+                    neg, grad_neg = run_vg(z, key)
                     return -neg, grad_neg
 
                 def bwd(grad_neg, cotangent):
@@ -1157,12 +1171,15 @@ class CausalBGM:
         - ``plp(params, z_prop, z_cur, k1, k2)`` or None — single-launch
           paired evaluation for ``recompute_current`` steps: both states are
           stacked into one fused-kernel call, each half padded up to a
-          row-block boundary (``pk.bnn_block_rows``) so the halves NEVER
-          share a per-block weight-noise draw.  The in-kernel PRNG is seeded
-          per row block (pallas_kernels.py: ``program_id`` mixed into the
-          seed), so the proposed and current halves draw independent weight
-          perturbations exactly as the reference's two separate
-          ``get_log_posterior`` calls per step do (causalbgm/base.py:865-866).
+          row-block boundary (``pk.bnn_block_rows``).  Weight-noise eps is
+          drawn in XLA per step as TWO independent sets (host-eps kernels)
+          whose index map routes set 0 to the proposed half's blocks and set
+          1 to the current half's, so each MH state sees its own whole-batch
+          eps draw — exactly the reference's two separate
+          ``get_log_posterior`` calls per step (causalbgm/base.py:865-866,
+          tfp DenseFlipout: one eps per call shared across the batch).
+          Per-row Rademacher signs stay on the in-kernel PRNG, seeded per
+          row block.
         - ``make_params(nets, data, paired) -> dict`` — builds the params
           pytree (flattened kernel weights, raw nets for the collector, data,
           and the pre-stacked 2n-row data when ``paired``).
@@ -1213,19 +1230,37 @@ class CausalBGM:
                 dims = (pk.flipout_mlp_layer_dims(self.nets["g"]),
                         pk.flipout_mlp_layer_dims(self.nets["h"]),
                         pk.flipout_mlp_layer_dims(self.nets["f"]))
+                # Host-eps kernels: eps drawn in XLA once per evaluation and
+                # shared across all rows — the exact tfp DenseFlipout
+                # semantics the reference executes (one eps per
+                # get_log_posterior call), and ~1.5x faster than in-kernel
+                # Box-Muller (benchmarks/mxu_probe.py).
                 fused = self._jit_cache(
-                    ("fused_bnn_logp", tuple(map(tuple, dims))),
-                    lambda: pk.make_fused_causal_logp_bnn(cfg, *dims))
+                    ("fused_bnn_logp_he", tuple(map(tuple, dims))),
+                    lambda: pk.make_fused_causal_logp_bnn_hosteps(cfg, *dims))
+                fused_paired = self._jit_cache(
+                    ("fused_bnn_logp_he2", tuple(map(tuple, dims))),
+                    lambda: pk.make_fused_causal_logp_bnn_hosteps(
+                        cfg, *dims, paired=True))
                 paired_block[0] = pk.bnn_block_rows(cfg, *dims)
+
+                def split_all(params):
+                    gw, gs = pk.split_flipout_flat(params["flat"][0])
+                    hw, hs = pk.split_flipout_flat(params["flat"][1])
+                    fw, fs = pk.split_flipout_flat(params["flat"][2])
+                    return gw, hw, fw, gs + hs + fs
 
                 if mesh is None:
                     def lp(params, z, key):
-                        gf, hf, ff = params["flat"]
+                        gw, hw, fw, sigs = split_all(params)
                         x, y, v = params["data"]
-                        return -fused(z, x, y, v, pk.key_to_seed(key), gf, hf, ff)
+                        k_eps, k_sig = jax.random.split(key)
+                        ps = pk.flipout_step_perturbations(sigs, k_eps)
+                        return -fused(z, x, y, v, pk.key_to_seed(k_sig),
+                                      gw, hw, fw, ps)
 
                     def plp(params, z_prop, z_cur, k1, k2):
-                        gf, hf, ff = params["flat"]
+                        gw, hw, fw, sigs = split_all(params)
                         x2, y2, v2 = params["data2"]
                         n = z_prop.shape[0]
                         n_pad = x2.shape[0] // 2  # half length incl. padding
@@ -1234,7 +1269,15 @@ class CausalBGM:
                             z_prop = jnp.pad(z_prop, rp)
                             z_cur = jnp.pad(z_cur, rp)
                         zz = jnp.concatenate([z_prop, z_cur], axis=0)
-                        neg = fused(zz, x2, y2, v2, pk.key_to_seed(k1), gf, hf, ff)
+                        # Set 0 -> proposed half, set 1 -> current half: two
+                        # independent eps draws per step, one per MH state,
+                        # as in the reference's two get_log_posterior calls.
+                        k_eps, k_sig = jax.random.split(k1)
+                        ps2 = pk.flipout_step_perturbations(sigs, k_eps,
+                                                            n_sets=2)
+                        neg = fused_paired(zz, x2, y2, v2,
+                                           pk.key_to_seed(k_sig),
+                                           gw, hw, fw, ps2)
                         return -neg[:n], -neg[n_pad:n_pad + n]
                 else:
                     from jax.sharding import PartitionSpec as P
@@ -1245,26 +1288,34 @@ class CausalBGM:
                         fused, mesh, 4, axis_name=mesh_axis, seed_arg=4)
 
                     def lp(params, z, key):
-                        gf, hf, ff = params["flat"]
+                        gw, hw, fw, sigs = split_all(params)
                         x, y, v = params["data"]
-                        return -sharded_fused(z, x, y, v, pk.key_to_seed(key),
-                                              gf, hf, ff)
+                        # eps is computed once and REPLICATED across shards
+                        # (reference: one eps per call over the full batch);
+                        # per-row signs decorrelate per shard via the seed.
+                        k_eps, k_sig = jax.random.split(key)
+                        ps = pk.flipout_step_perturbations(sigs, k_eps)
+                        return -sharded_fused(z, x, y, v,
+                                              pk.key_to_seed(k_sig),
+                                              gw, hw, fw, ps)
 
-                    def paired_local(zz_l, x_l, y_l, v_l, seed, gf, hf, ff):
+                    def paired_local(zz_l, x_l, y_l, v_l, seed, gw, hw, fw,
+                                     ps2):
                         # Each shard holds aligned (2, n_l) [prop; cur]
                         # sub-halves with n_l a multiple of block_rows, so
                         # the flattened 2*n_l rows keep the halves in
-                        # disjoint noise blocks.  Shard streams decorrelate
-                        # via the seed's second word.
+                        # disjoint blocks and the paired kernel's set index
+                        # map routes eps set 0/1 to the right half.  Sign
+                        # streams decorrelate via the seed's second word.
                         seed = seed.at[1].add(jax.lax.axis_index(mesh_axis))
                         nl = zz_l.shape[1]
                         flat = lambda a: a.reshape(2 * nl, a.shape[2])
-                        neg = fused(flat(zz_l), flat(x_l), flat(y_l),
-                                    flat(v_l), seed, gf, hf, ff)
+                        neg = fused_paired(flat(zz_l), flat(x_l), flat(y_l),
+                                           flat(v_l), seed, gw, hw, fw, ps2)
                         return neg.reshape(2, nl)
 
                     def plp(params, z_prop, z_cur, k1, k2):
-                        gf, hf, ff = params["flat"]
+                        gw, hw, fw, sigs = split_all(params)
                         x2, y2, v2 = params["data2"]  # (2, n_pad, d) each
                         n, n_pad = z_prop.shape[0], x2.shape[1]
                         if n_pad != n:
@@ -1272,14 +1323,17 @@ class CausalBGM:
                             z_prop = jnp.pad(z_prop, rp)
                             z_cur = jnp.pad(z_cur, rp)
                         zz = jnp.stack([z_prop, z_cur])
+                        k_eps, k_sig = jax.random.split(k1)
+                        ps2 = pk.flipout_step_perturbations(sigs, k_eps,
+                                                            n_sets=2)
                         sm = jax.shard_map(
                             paired_local, mesh=mesh,
                             in_specs=(P(None, mesh_axis), P(None, mesh_axis),
                                       P(None, mesh_axis), P(None, mesh_axis),
-                                      P(), P(), P(), P()),
+                                      P(), P(), P(), P(), P()),
                             out_specs=P(None, mesh_axis), check_vma=False)
-                        neg = sm(zz, x2, y2, v2, pk.key_to_seed(k1),
-                                 gf, hf, ff)
+                        neg = sm(zz, x2, y2, v2, pk.key_to_seed(k_sig),
+                                 gw, hw, fw, ps2)
                         return -neg[0, :n], -neg[1, :n]
 
                 def make_multi_step(K):
@@ -1522,7 +1576,7 @@ class CausalBGM:
                 # step (recompute_current — the MALA analogue of what the MH
                 # path does); on TPU each evaluation is one fused
                 # forward+backward Pallas launch
-                # (make_fused_causal_logp_and_grad_bnn), so a BNN-MALA step
+                # (make_fused_causal_logp_and_grad_bnn_hosteps), so a BNN-MALA step
                 # costs two kernel launches.  Caching the current logp (the
                 # deterministic-target fast path) would bias a stochastic
                 # chain toward lucky noise draws.

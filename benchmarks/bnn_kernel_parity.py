@@ -56,20 +56,67 @@ def main(n=2048, v_dim=200, K=200):
     b = np.stack([np.asarray(xla(jax.random.PRNGKey(500 + i)))
                   for i in range(K)])
 
-    mean_rel = np.abs(a.mean(0) - b.mean(0)) / (np.abs(b.mean(0)) + 1e-9)
-    # MC SE of the DIFFERENCE of two K-draw means
-    se_rel = (np.sqrt((a.std(0) ** 2 + b.std(0) ** 2) / K)
-              / (np.abs(b.mean(0)) + 1e-9))
-    std_ratio = a.std(0) / np.maximum(b.std(0), 1e-12)
-    med_mean_rel = float(np.median(mean_rel))
-    med_se = float(np.median(se_rel))
-    med_std_ratio = float(np.median(std_ratio))
-    ok = med_mean_rel < 3 * med_se and abs(med_std_ratio - 1.0) < 0.05
+    # Host-eps kernel (the DEFAULT hot path since round 3): eps from XLA,
+    # per-row signs in-kernel.
+    gw, gs = pk.split_flipout_flat(gf)
+    hw, hs = pk.split_flipout_flat(hf)
+    fw, fs = pk.split_flipout_flat(ff)
+    sigs = gs + hs + fs
+    he_raw = pk.make_fused_causal_logp_bnn_hosteps(cfg, *dims)
+
+    def he(key):
+        k_eps, k_sig = jax.random.split(key)
+        ps = pk.flipout_step_perturbations(sigs, k_eps)
+        return he_raw(zs, xs, ys, vs, pk.key_to_seed(k_sig), gw, hw, fw, ps)
+
+    he = jax.jit(he)
+    c = np.stack([np.asarray(he(jax.random.PRNGKey(900 + i)))
+                  for i in range(K)])
+
+    def gate(sample, ref):
+        mean_rel = np.abs(sample.mean(0) - ref.mean(0)) / (np.abs(ref.mean(0)) + 1e-9)
+        # MC SE of the DIFFERENCE of two K-draw means
+        se_rel = (np.sqrt((sample.std(0) ** 2 + ref.std(0) ** 2) / K)
+                  / (np.abs(ref.mean(0)) + 1e-9))
+        std_ratio = sample.std(0) / np.maximum(ref.std(0), 1e-12)
+        med_mean_rel = float(np.median(mean_rel))
+        med_se = float(np.median(se_rel))
+        med_std_ratio = float(np.median(std_ratio))
+        ok = med_mean_rel < 3 * med_se and abs(med_std_ratio - 1.0) < 0.05
+        return ok, {"median_mean_rel_diff": round(med_mean_rel, 6),
+                    "median_mc_se": round(med_se, 6),
+                    "median_std_ratio": round(med_std_ratio, 4)}
+
+    ok_a, stats_a = gate(a, b)
+    ok_c, stats_c = gate(c, b)
+
+    # Paired set-routing, exact on-chip: the proposed half of a paired
+    # launch occupies the SAME program ids (0..split-1) and eps set 0 as a
+    # plain launch on that half alone, so the first half must match a
+    # single-set call bit-for-bit (exercises the compiled index map).
+    paired_raw = pk.make_fused_causal_logp_bnn_hosteps(cfg, *dims, paired=True)
+    block = pk.bnn_block_rows(cfg, *dims)
+    n_half = ((n + block - 1) // block) * block
+    pad = ((0, n_half - n), (0, 0))
+    zsp = jnp.pad(zs, pad)
+    xsp, ysp, vsp = (jnp.pad(s, pad) for s in (xs, ys, vs))
+    z2 = jnp.concatenate([zsp, zsp + 0.1])
+    x2, y2, v2 = (jnp.concatenate([s, s]) for s in (xsp, ysp, vsp))
+    kk = jax.random.PRNGKey(77)
+    ps2 = pk.flipout_step_perturbations(sigs, kk, n_sets=2)
+    seed = pk.key_to_seed(jax.random.PRNGKey(78))
+    both = np.asarray(jax.jit(paired_raw)(z2, x2, y2, v2, seed, gw, hw, fw, ps2))
+    first = np.asarray(jax.jit(he_raw)(zsp, xsp, ysp, vsp, seed, gw, hw, fw,
+                                       [p[:1] for p in ps2]))
+    pair_exact = float(np.max(np.abs(both[:n_half] - first)))
+    ok_pair = pair_exact == 0.0
+
+    ok = ok_a and ok_c and ok_pair
     print(json.dumps({
         "metric": "bnn_kernel_parity",
-        "median_mean_rel_diff": round(med_mean_rel, 6),
-        "median_mc_se": round(med_se, 6),
-        "median_std_ratio": round(med_std_ratio, 4),
+        "inkernel_eps": stats_a,
+        "hosteps": stats_c,
+        "paired_first_half_max_abs_diff": pair_exact,
         "K": K, "n": n, "ok": bool(ok),
     }))
     return ok

@@ -392,3 +392,198 @@ def test_mirror_noise_constructions_are_distributionally_sound():
     for s in (np.asarray(r_in), np.asarray(r_out)):
         assert set(np.unique(s)) <= {-1.0, 1.0}
         assert abs(s.mean()) < 0.02
+
+
+# ---------------------------------------------------------------------------
+# Host-eps kernels (round 3, the default BNN hot path: eps from XLA,
+# signs in-kernel — pallas_kernels.make_fused_causal_logp_bnn_hosteps)
+# ---------------------------------------------------------------------------
+
+
+def _split_nets(nets):
+    ws, sigs, dims = [], [], []
+    for k in "ghf":
+        w, s = pk.split_flipout_flat(pk.flatten_flipout_params(nets[k]))
+        ws.append(w)
+        sigs.append(s)
+        dims.append(pk.flipout_mlp_layer_dims(nets[k]))
+    return ws, sigs, dims
+
+
+def _mirror_signs_for_chain(wflat, n_layers, rows, draw):
+    """Replay the hosteps chain's ONE shared bit-sliced sign draw."""
+    max_w = max(max(wflat[2 + 2 * i].shape) for i in range(n_layers))
+    shared = draw((rows, max_w))
+
+    def signs(k, cols):
+        sl = shared if cols == max_w else shared[:, :cols]
+        word = sl if k == 0 else sl >> jnp.uint32(k)
+        low = jax.lax.bitcast_convert_type(word & jnp.uint32(1), jnp.int32)
+        return 1.0 - 2.0 * low.astype(jnp.float32)
+
+    return [(signs(2 * i, wflat[2 + 2 * i].shape[0]),
+             signs(2 * i + 1, wflat[2 + 2 * i].shape[1]))
+            for i in range(n_layers)]
+
+
+def _mirror_hosteps_apply(h, wflat, sign_pairs, ps):
+    h = h * wflat[0] + wflat[1]
+    L = len(sign_pairs)
+    for i, ((r_in, r_out), P) in enumerate(zip(sign_pairs, ps)):
+        loc, b = wflat[2 + 2 * i], wflat[2 + 2 * i + 1]
+        h_new = h @ loc + b + ((h * r_in) @ P) * r_out
+        h = jnp.where(h_new > 0, h_new, pk.LEAKY_SLOPE * h_new) \
+            if i < L - 1 else h_new
+    return h
+
+
+def _mirror_hosteps_neg_logp(cfg, ws, signs, ps_by_net, x, y, v):
+    d0, d1, d2, _ = cfg.z_dims
+    eps_f = 1e-6
+
+    def neg_logp(z):
+        z0, z1, z2 = z[:, :d0], z[:, d0:d0 + d1], z[:, d0 + d1:d0 + d1 + d2]
+        g_out = _mirror_hosteps_apply(z, ws[0], signs[0], ps_by_net[0])
+        s_v = jax.nn.softplus(g_out[:, cfg.v_dim]) + eps_f
+        loss = jnp.sum((v - g_out[:, :cfg.v_dim]) ** 2, axis=1) / (2.0 * s_v) \
+            + cfg.v_dim * jnp.log(s_v) / 2.0
+        h_out = _mirror_hosteps_apply(jnp.concatenate([z0, z2], axis=1),
+                                      ws[1], signs[1], ps_by_net[1])
+        if cfg.binary_treatment:
+            lx = h_out[:, 0]
+            loss += jnp.maximum(lx, 0.0) - lx * x[:, 0] \
+                + jnp.log1p(jnp.exp(-jnp.abs(lx)))
+        else:
+            s_x = jax.nn.softplus(h_out[:, 1]) + eps_f
+            loss += jnp.sum((x - h_out[:, 0:1]) ** 2, axis=1) / (2.0 * s_x) \
+                + jnp.log(s_x) / 2.0
+        f_out = _mirror_hosteps_apply(jnp.concatenate([z0, z1, x], axis=1),
+                                      ws[2], signs[2], ps_by_net[2])
+        s_y = jax.nn.softplus(f_out[:, 1]) + eps_f
+        loss += jnp.sum((y - f_out[:, 0:1]) ** 2, axis=1) / (2.0 * s_y) \
+            + jnp.log(s_y) / 2.0
+        return loss + jnp.sum(z * z, axis=1) / 2.0
+
+    return neg_logp
+
+
+def test_split_flipout_flat_roundtrip():
+    nets = _bnn_nets(_bnn_cfg())
+    flat = pk.flatten_flipout_params(nets["g"])
+    w, sigs = pk.split_flipout_flat(flat)
+    L = (len(flat) - 2) // 3
+    assert len(w) == 2 + 2 * L and len(sigs) == L
+    for i in range(L):
+        np.testing.assert_array_equal(np.asarray(w[2 + 2 * i]),
+                                      np.asarray(flat[2 + 3 * i]))
+        np.testing.assert_array_equal(np.asarray(sigs[i]),
+                                      np.asarray(flat[2 + 3 * i + 1]))
+        np.testing.assert_array_equal(np.asarray(w[2 + 2 * i + 1]),
+                                      np.asarray(flat[2 + 3 * i + 2]))
+
+
+def test_flipout_step_perturbations_distribution():
+    sigs = [jnp.full((64, 32), 0.5), jnp.full((32, 8), 2.0)]
+    ps = pk.flipout_step_perturbations(sigs, jax.random.PRNGKey(0))
+    assert [p.shape for p in ps] == [(1, 64, 32), (1, 32, 8)]
+    assert abs(float(ps[0].std()) - 0.5) < 0.02
+    ps2 = pk.flipout_step_perturbations(sigs, jax.random.PRNGKey(1), n_sets=2)
+    assert [p.shape for p in ps2] == [(2, 64, 32), (2, 32, 8)]
+    # the two sets are independent draws, not copies
+    assert float(jnp.abs(ps2[0][0] - ps2[0][1]).max()) > 0.1
+
+
+@pytest.mark.parametrize("binary", [False, True])
+def test_hosteps_bnn_logp_matches_mirror_on_cpu(monkeypatch, binary):
+    """Host-eps BNN logp kernel == independent jnp mirror with the sign PRNG
+    stubbed and eps explicit — the default hot path's formulas, on CPU CI."""
+    cfg = _bnn_cfg(binary)
+    nets = _bnn_nets(cfg)
+    ws, sigs, dims = _split_nets(nets)
+    z, x, y, v = _gate_data(cfg, n=16, binary=binary)
+    ps = pk.flipout_step_perturbations(sigs[0] + sigs[1] + sigs[2],
+                                       jax.random.PRNGKey(7))
+
+    stream = _CounterBits()
+    _stub_prng(monkeypatch, stream)
+    fused = pk.make_fused_causal_logp_bnn_hosteps(cfg, *dims, block_rows=16,
+                                                  interpret=True)
+    neg_kernel = np.asarray(fused(z, x, y, v, jnp.zeros((2,), jnp.int32),
+                                  ws[0], ws[1], ws[2], ps))
+
+    stream.seed()
+    n_layers = [len(d) - 1 for d in dims]
+    signs = [_mirror_signs_for_chain(w, L, 16, stream.random_bits)
+             for w, L in zip(ws, n_layers)]
+    cuts = np.cumsum([0] + n_layers)
+    ps_by_net = [[p[0] for p in ps[cuts[i]:cuts[i + 1]]] for i in range(3)]
+    neg_mirror = np.asarray(
+        _mirror_hosteps_neg_logp(cfg, ws, signs, ps_by_net, x, y, v)(z))
+
+    np.testing.assert_allclose(neg_kernel, neg_mirror, rtol=2e-5, atol=2e-5)
+    assert np.all(np.isfinite(neg_kernel))
+
+
+def test_hosteps_paired_set_routing_on_cpu(monkeypatch):
+    """paired=True routes eps set 0 to the proposed half's blocks and set 1
+    to the current half's: each half must equal an unpaired call fed that
+    set alone (the stubbed sign stream restarts identically per block)."""
+    cfg = _bnn_cfg(False)
+    nets = _bnn_nets(cfg)
+    ws, sigs, dims = _split_nets(nets)
+    z, x, y, v = _gate_data(cfg, n=16)
+    all_sigs = sigs[0] + sigs[1] + sigs[2]
+    ps2 = pk.flipout_step_perturbations(all_sigs, jax.random.PRNGKey(11),
+                                        n_sets=2)
+
+    stream = _CounterBits()
+    _stub_prng(monkeypatch, stream)
+    paired = pk.make_fused_causal_logp_bnn_hosteps(
+        cfg, *dims, block_rows=16, paired=True, interpret=True)
+    z2 = jnp.concatenate([z, z + 0.1], axis=0)
+    d2 = tuple(jnp.concatenate([a, a], axis=0) for a in (x, y, v))
+    neg2 = np.asarray(paired(z2, *d2, jnp.zeros((2,), jnp.int32),
+                             ws[0], ws[1], ws[2], ps2))
+
+    single = pk.make_fused_causal_logp_bnn_hosteps(cfg, *dims, block_rows=16,
+                                                   interpret=True)
+    for half, zz, s in ((0, z, 0), (1, z + 0.1, 1)):
+        ps1 = [p[s:s + 1] for p in ps2]
+        neg1 = np.asarray(single(zz, x, y, v, jnp.zeros((2,), jnp.int32),
+                                 ws[0], ws[1], ws[2], ps1))
+        np.testing.assert_allclose(neg2[16 * half:16 * (half + 1)], neg1,
+                                   rtol=1e-6, atol=1e-6)
+    # and the two halves genuinely differ (different eps sets + states)
+    assert np.abs(neg2[:16] - neg2[16:]).max() > 1e-3
+
+
+def test_hosteps_logp_and_grad_matches_mirror_autodiff_on_cpu(monkeypatch):
+    """Hand-written backward of the host-eps forward+backward kernel ==
+    jax.grad of the mirror under the same signs/eps."""
+    cfg = _bnn_cfg(False)
+    nets = _bnn_nets(cfg)
+    ws, sigs, dims = _split_nets(nets)
+    z, x, y, v = _gate_data(cfg, n=16)
+    ps = pk.flipout_step_perturbations(sigs[0] + sigs[1] + sigs[2],
+                                       jax.random.PRNGKey(23))
+
+    stream = _CounterBits()
+    _stub_prng(monkeypatch, stream)
+    fused_vg = pk.make_fused_causal_logp_and_grad_bnn_hosteps(
+        cfg, *dims, block_rows=16, interpret=True)
+    neg_k, grad_k = (np.asarray(a) for a in
+                     fused_vg(z, x, y, v, jnp.zeros((2,), jnp.int32),
+                              ws[0], ws[1], ws[2], ps))
+
+    stream.seed()
+    n_layers = [len(d) - 1 for d in dims]
+    signs = [_mirror_signs_for_chain(w, L, 16, stream.random_bits)
+             for w, L in zip(ws, n_layers)]
+    cuts = np.cumsum([0] + n_layers)
+    ps_by_net = [[p[0] for p in ps[cuts[i]:cuts[i + 1]]] for i in range(3)]
+    mirror = _mirror_hosteps_neg_logp(cfg, ws, signs, ps_by_net, x, y, v)
+    neg_m = np.asarray(mirror(z))
+    grad_m = np.asarray(jax.grad(lambda zz: jnp.sum(mirror(zz)))(z))
+
+    np.testing.assert_allclose(neg_k, neg_m, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(grad_k, grad_m, rtol=5e-4, atol=5e-5)
