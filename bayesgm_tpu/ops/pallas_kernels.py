@@ -1025,12 +1025,15 @@ def flipout_step_perturbations(sigs, key, n_sets=1):
     assigns set 0 to the proposed half and set 1 to the current half, exactly
     reproducing the reference's two separate get_log_posterior calls per
     step (base.py:865-866)."""
-    keys = jax.random.split(key, len(sigs))
-    if n_sets == 1:
-        return [ (s * jax.random.normal(k, s.shape, jnp.float32))[None]
-                 for s, k in zip(sigs, keys) ]
-    return [ s * jax.random.normal(k, (n_sets,) + s.shape, jnp.float32)
-             for s, k in zip(sigs, keys) ]
+    # One fused draw for all layers (sliced per layer): a dozen separate
+    # threefry launches per MH step cost more than the normals themselves.
+    sizes = [int(s.shape[0]) * int(s.shape[1]) for s in sigs]
+    flat = jax.random.normal(key, (n_sets, sum(sizes)), jnp.float32)
+    out, off = [], 0
+    for s, sz in zip(sigs, sizes):
+        out.append(s * flat[:, off:off + sz].reshape((n_sets,) + s.shape))
+        off += sz
+    return out
 
 
 def _sign_source(rows, max_w, n_mats):
