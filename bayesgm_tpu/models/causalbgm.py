@@ -424,7 +424,11 @@ def _dr_effect_collector_p(cfg: CBGMConfig, x_values, h_bw: float,
         dr(x*)     = plugin(x*) + sum_i w_i resid_i / sum_i w_i   (Hajek)
 
     The Hajek (self-normalized) form is used: raw IPW weights are unstable
-    under thin GPS tails (measured in benchmarks/deconfound_study.py).  The
+    under thin GPS tails (measured in benchmarks/deconfound_study.py, whose
+    ``make_dr_collector`` is the 3-variant study twin of this collector; it
+    additionally carries the kernel's 1/(h*sqrt(2pi)) normalization, which
+    the Hajek ratio cancels — keep the two in sync if the weight form
+    changes).  The
     estimate is consistent if EITHER head is well-specified, which removes
     the plugin's shared f-misfit bias at the cost of kernel-smoothing
     variance.  Continuous treatment only; the correction is evaluated inside
@@ -1463,12 +1467,20 @@ class CausalBGM:
         average.  ``return_draws=True`` appends the raw effect draw matrix
         (see ``_aggregate_predict``).
 
-        Subject batching (``n_test > bs``) is exact for both treatment
-        types: the reference's single full-data chain is n independent
-        per-subject chains stepped in lockstep (base.py:860-898), so
-        combining per-batch draws at a common draw index reproduces the
-        unbatched draw-series law (verified by
+        Subject batching (``n_test > bs``) is exact for the plain
+        (non-BNN) model: the reference's single full-data chain is n
+        independent per-subject chains stepped in lockstep
+        (base.py:860-898), so combining per-batch draws at a common draw
+        index reproduces the unbatched draw-series law (verified by
         tests/test_predict_batching.py::test_batched_intervals_match_unbatched).
+        With ``use_bnn=True`` the per-subject marginals still match, but
+        the flipout eps of each evaluation is shared across a launch
+        (reference semantics, base.py:765-817), which couples accept
+        decisions within a launch; batching scopes that coupling per batch
+        instead of across all n, so continuous-treatment ADRF intervals
+        come out slightly narrower than one full-data launch.  For
+        reference-exact BNN intervals set ``bs >= n_test`` (the flagship
+        recipes do).
 
         ``mesh`` shards the per-subject chains (init state + data rows) over
         the device mesh — MCMC inference is embarrassingly parallel in
@@ -1510,6 +1522,10 @@ class CausalBGM:
         adaptive = q_sd is None or q_sd <= 0
         q0 = 1.0 if adaptive else float(q_sd)
 
+        if estimator not in ("plugin", "dr"):
+            raise ValueError(f"Unknown estimator: {estimator!r} "
+                             "(expected 'plugin' or 'dr').")
+
         print("MCMC Latent Variable Sampling ...")
 
         if mesh is not None:
@@ -1543,9 +1559,6 @@ class CausalBGM:
                 collect_p = _dr_effect_collector_p(cfg, x_values,
                                                    float(dr_bw),
                                                    float(dr_gps_floor))
-            elif estimator != "plugin":
-                raise ValueError(f"Unknown estimator: {estimator!r} "
-                                 "(expected 'plugin' or 'dr').")
             else:
                 collect_p = _effect_collector_p(cfg, x_values, sample_y)
             xv_key = None if x_values is None else tuple(np.asarray(x_values).tolist())
@@ -1555,7 +1568,7 @@ class CausalBGM:
                                                  float(dr_gps_floor)),
                  None if mesh is None else str(mesh)), dict)
         else:
-            if estimator != "plugin":
+            if estimator == "dr":
                 raise ValueError(
                     "estimator='dr' requires sampler='mh' (the params-mode "
                     "chain carries the observed (x, y) the correction needs).")
@@ -1610,11 +1623,15 @@ class CausalBGM:
         point estimate + ``[alpha/2, 1-alpha/2]`` intervals, and optionally
         the ESS / split-R̂ / pooled-acceptance diagnostics.
 
-        Batching is exact, not an approximation: per-subject chains are
-        independent whether they share one launch or not (the reference's
-        "full-data chain", base.py:860-898, is n independent random-walk
-        chains stepped in lockstep), so combining batches at a common draw
-        index reproduces the unbatched draw-series law.  Diagnostics for the
+        Batching is exact for deterministic targets: per-subject chains are
+        then independent whether they share one launch or not (the
+        reference's "full-data chain", base.py:860-898, is n independent
+        random-walk chains stepped in lockstep), so combining batches at a
+        common draw index reproduces the unbatched draw-series law.  For
+        stochastic (flipout) targets the shared per-launch eps couples
+        accept decisions within a launch, so batching slightly narrows
+        subject-averaged (ADRF) intervals vs one full-data launch — see the
+        ``predict`` docstring.  Diagnostics for the
         continuous case are computed per batch-chain and aggregated
         conservatively (elementwise min ESS / max R̂ across batches) — never
         on a cross-batch average, which would overstate mixing.

@@ -66,7 +66,7 @@ class EnsembleCausalBGM:
 
     def predict(self, data, alpha=0.01, n_mcmc=3000, burn_in=5000, x_values=None,
                 q_sd=1.0, sample_y=True, bs=10000, return_diagnostics=False,
-                **kwargs):
+                return_draws=False, **kwargs):
         """Causal effects under the uniform model-average posterior.
 
         The ensemble posterior is the equal-weight MIXTURE of the member
@@ -79,6 +79,9 @@ class EnsembleCausalBGM:
         ``return_diagnostics=True`` appends a dict with the elementwise
         minimum ESS and maximum split-R̂ across members (each member's chain
         judged on its own) plus the member-mean acceptance rate.
+        ``return_draws=True`` appends the pooled mixture draw matrix itself
+        (same layout as :meth:`CausalBGM.predict`'s, with ``K * n_mcmc``
+        draws along the draw axis).
         """
         draws_k, diags = [], []
         for i, m in enumerate(self.members):
@@ -96,10 +99,12 @@ class EnsembleCausalBGM:
         lower = np.quantile(pooled, alpha / 2, axis=draw_axis)
         upper = np.quantile(pooled, 1 - alpha / 2, axis=draw_axis)
         intervals = np.stack([lower, upper], axis=1)
+        out = [point, intervals]
         if return_diagnostics:
-            diag = dict(
+            out.append(dict(
                 ess=np.min([d["ess"] for d in diags], axis=0),
                 rhat=np.max([d["rhat"] for d in diags], axis=0),
-                accept_rate=float(np.mean([d["accept_rate"] for d in diags])))
-            return point, intervals, diag
-        return point, intervals
+                accept_rate=float(np.mean([d["accept_rate"] for d in diags]))))
+        if return_draws:
+            out.append(pooled)
+        return tuple(out)

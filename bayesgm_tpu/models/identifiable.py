@@ -370,8 +370,9 @@ class IdentifiableCausalBGM(cb.CausalBGM):
         ``return_diagnostics``), with the conditional prior in the chain
         (identifiable.py:350-420; ``burn_in`` is forwarded, fixing the
         reference's dropped-kwarg bug).  Subject batching combines per-batch
-        draws at a common draw index — exact, see
-        :meth:`CausalBGM._aggregate_predict`."""
+        draws at a common draw index — exact for the plain model; with
+        ``use_bnn=True`` prefer ``bs >= n_test`` (shared per-launch flipout
+        eps — see :meth:`CausalBGM._aggregate_predict`)."""
         assert 0 < alpha < 1, "The significance level 'alpha' must be greater than 0 and less than 1."
         cfg = self.cfg
         if not cfg.binary_treatment and x_values is None:

@@ -41,7 +41,7 @@ def main():
     x, y, v = Sim_Hirano_Imbens_sampler(
         batch_size=32, N=20000, v_dim=200, seed=args.data_seed).load_all()
     grid = np.linspace(0, 3, 20)
-    true = get_ADRF("Sim_Hirano_Imbens", grid)
+    true = get_ADRF(x_values=grid, dataset="Imbens")
 
     m = CausalBGM(dict(
         v_dim=200, z_dims=[1, 1, 1, 7], binary_treatment=False,

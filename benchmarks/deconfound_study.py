@@ -143,6 +143,11 @@ def make_dr_collector(cfg, x_values, h_bw, gps_floor=1e-3):
     model's own posterior latents standing in for the cross-fitted nuisance
     estimates; it is consistent if EITHER the outcome head f or the
     propensity head h is well-specified.
+
+    Study twin of the shipped ``causalbgm._dr_effect_collector_p`` (which
+    returns only the Hajek variant and drops the kernel's constant
+    normalization — the self-normalized ratio cancels it); keep the weight
+    forms in sync if either changes.
     """
     import jax
     import jax.numpy as jnp

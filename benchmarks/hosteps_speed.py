@@ -46,7 +46,14 @@ def main():
     g_dims = [z_dim, 64, 64, 64, 64, 64, v_dim + 1]
     h_dims = [2, 64, 32, 8, 2]
     f_dims = [3, 64, 32, 8, 2]
-    rows = 2 * args.n  # paired predict evaluates proposed+current stacked
+    # Paired predict evaluates proposed+current stacked, each half padded to
+    # a row-block boundary exactly as production make_params does
+    # (causalbgm.py `_make_param_log_prob`: n_pad = ceil(n/block)*block), so
+    # the timed program is byte-identical to the shipped hot path's layout
+    # (split = n_blocks//2 lands on the true half boundary).
+    block = 512
+    n_pad = -(-args.n // block) * block
+    rows = 2 * n_pad
 
     key = jax.random.PRNGKey(0)
     kz, kx, ky, kv, kw = jax.random.split(key, 5)

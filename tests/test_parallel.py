@@ -263,3 +263,73 @@ def test_fullmcmc_mesh_predict_matches_single_device(tmp_path):
     assert adrf8.shape == (2,) and ci8.shape == (2, 2)
     np.testing.assert_allclose(adrf8, adrf1, rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(ci8, ci1, rtol=2e-3, atol=2e-3)
+
+
+def test_mesh_bnn_paired_fused_path_matches_xla_composite(monkeypatch, tmp_path):
+    """The mesh+BNN predict hot path — hosteps fused kernels per shard under
+    jax.shard_map, paired [prop; cur] stacking on a leading pair axis, eps
+    set routing, per-shard seed decorrelation — executes on the CPU mesh in
+    interpret mode and, in the deterministic flipout limit (rho=-20, where
+    the weight perturbation vanishes), matches the XLA composite exactly.
+    Before this test the branch (causalbgm._make_param_log_prob mesh+use_bnn)
+    could only ever run on multi-chip TPU hardware this CI doesn't have."""
+    from bayesgm_tpu.ops import pallas_kernels as pk
+
+    p = dict(v_dim=6, z_dims=[1, 1, 1, 2], binary_treatment=False,
+             dataset="meshbnn", output_dir=str(tmp_path), use_bnn=True,
+             g_units=[16, 8], e_units=[16, 8], f_units=[8], h_units=[8],
+             dz_units=[8], save_res=False, save_model=False)
+    m = cb.CausalBGM(p, random_seed=5)
+    for name in ("g", "h", "f"):
+        for layer in m.nets[name]["layers"]:
+            layer["rho"] = jnp.full_like(layer["rho"], -20.0)
+
+    rng = np.random.RandomState(6)
+    n = 37  # not divisible by mesh size or block -> exercises both paddings
+    data = (rng.rand(n, 1).astype("float32"), rng.randn(n, 1).astype("float32"),
+            rng.randn(n, 6).astype("float32"))
+    z_prop = jnp.asarray(rng.randn(n, 5).astype("float32"))
+    z_cur = jnp.asarray(rng.randn(n, 5).astype("float32"))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+
+    # Force the TPU-only branch on this CPU mesh: gate on, kernels in
+    # interpret mode with tiny blocks, and the in-kernel sign PRNG stubbed
+    # (signs multiply the ~1e-9 perturbations away in this limit).
+    from tests.test_pallas import _CounterBits, _stub_prng
+
+    real_he = pk.make_fused_causal_logp_bnn_hosteps
+    monkeypatch.setattr(pk, "on_tpu", lambda: True)
+    monkeypatch.setattr(
+        pk, "make_fused_causal_logp_bnn_hosteps",
+        lambda *a, **k: real_he(*a, **{**k, "interpret": True,
+                                       "block_rows": 16}))
+    monkeypatch.setattr(pk, "bnn_block_rows", lambda *a, **k: 16)
+    _stub_prng(monkeypatch, _CounterBits())
+
+    mesh = make_mesh(8)
+    lp_mesh, plp_mesh, mk_mesh, _ = m._make_param_log_prob(mesh=mesh)
+    lp1, plp1, mk1, _ = m._make_param_log_prob()
+    lp_ref, _, mk_ref, _ = m._make_param_log_prob(prefer_xla=True)
+    assert plp_mesh is not None and plp1 is not None
+
+    params_m = mk_mesh(m.nets, data, True)
+    params_1 = mk1(m.nets, data, True)
+    params_r = mk_ref(m.nets, data, False)
+    # mesh paired layout: leading pair axis, halves padded to block*n_shards
+    assert params_m["data2"][0].shape == (2, 128, 1)
+    assert params_1["data2"][0].shape == (96, 1)
+
+    want_p = np.asarray(lp_ref(params_r, z_prop, k2))
+    want_c = np.asarray(lp_ref(params_r, z_cur, k2))
+
+    for tag, (lp, plp, params) in {
+            "mesh": (lp_mesh, plp_mesh, params_m),
+            "single": (lp1, plp1, params_1)}.items():
+        got_p, got_c = plp(params, z_prop, z_cur, k1, k2)
+        np.testing.assert_allclose(np.asarray(got_p), want_p, rtol=2e-4,
+                                   atol=2e-4, err_msg=f"{tag} paired prop")
+        np.testing.assert_allclose(np.asarray(got_c), want_c, rtol=2e-4,
+                                   atol=2e-4, err_msg=f"{tag} paired cur")
+        got_lp = np.asarray(lp(params, z_prop, k1))
+        np.testing.assert_allclose(got_lp, want_p, rtol=2e-4, atol=2e-4,
+                                   err_msg=f"{tag} single-launch lp")

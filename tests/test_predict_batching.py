@@ -147,13 +147,18 @@ def test_ensemble_pools_member_draws(fitted_causal, tmp_path):
     ens = EnsembleCausalBGM(p, random_seed=9)
     ens.fit(data, epochs=2, epochs_per_eval=2, batch_size=30,
             use_egm_init=False, verbose=0)
-    pt, iv, diag = ens.predict(data, alpha=0.2, n_mcmc=60, burn_in=60,
-                               x_values=[0.5, 1.5], q_sd=1.0,
-                               return_diagnostics=True)
+    pt, iv, diag, pooled = ens.predict(data, alpha=0.2, n_mcmc=60, burn_in=60,
+                                       x_values=[0.5, 1.5], q_sd=1.0,
+                                       return_diagnostics=True,
+                                       return_draws=True)
     assert pt.shape == (2,) and iv.shape == (2, 2)
     assert np.all(iv[:, 0] <= pt) and np.all(pt <= iv[:, 1])
     assert diag["ess"].shape == (2,) and diag["rhat"].shape == (2,)
     assert 0.0 <= diag["accept_rate"] <= 1.0
+    # pooled mixture draw matrix: K * n_mcmc draws per grid point, and the
+    # returned point/intervals are exactly its mean/quantiles
+    assert pooled.shape == (2, 2 * 60)
+    np.testing.assert_allclose(pt, pooled.mean(axis=1), rtol=1e-6)
 
 
 # ---------------------------------------------------------------------------
