@@ -363,16 +363,21 @@ class IdentifiableCausalBGM(cb.CausalBGM):
         return np.asarray(res.samples), np.asarray(data_u)
 
     def predict(self, data, alpha=0.01, n_mcmc=3000, burn_in=5000, x_values=None,
-                q_sd=1.0, sample_y=True, bs=10000, mesh=None,
+                q_sd=1.0, sample_y=True, bs=10000, mesh=None, sampler="mh",
                 use_best_nets=False, use_swa_nets=False,
                 return_diagnostics=False):
         """Same interface as :meth:`CausalBGM.predict` (incl.
-        ``return_diagnostics``), with the conditional prior in the chain
+        ``return_diagnostics`` and ``sampler="mala"`` — gradient-informed
+        Langevin proposals through the conditional-prior target), with the
+        conditional prior in the chain
         (identifiable.py:350-420; ``burn_in`` is forwarded, fixing the
         reference's dropped-kwarg bug).  Subject batching combines per-batch
         draws at a common draw index — exact for the plain model; with
         ``use_bnn=True`` prefer ``bs >= n_test`` (shared per-launch flipout
         eps — see :meth:`CausalBGM._aggregate_predict`)."""
+        if sampler not in ("mh", "mala"):
+            raise ValueError(f"Unknown sampler: {sampler!r} "
+                             "(expected 'mh' or 'mala').")
         assert 0 < alpha < 1, "The significance level 'alpha' must be greater than 0 and less than 1."
         cfg = self.cfg
         if not cfg.binary_treatment and x_values is None:
@@ -419,11 +424,35 @@ class IdentifiableCausalBGM(cb.CausalBGM):
                 init = shard_rows(init, mesh)
             params = {"nets": nets, "prior_net": self.prior_net,
                       "data": batch, "u": data_u}
-            res = mcmc.adaptive_mh(
-                lp, init, self._next_key(),
-                burn_in=burn_in, n_keep=n_mcmc, q_sd=q0, adaptive=adaptive,
-                recompute_current=cfg.use_bnn, collect=collect_p,
-                params=params, jit_cache=jit_cache)
+            if sampler == "mala":
+                # Langevin proposals through the FULL conditional-prior
+                # target (likelihood + p(Z|U)); the XLA composite is
+                # differentiated by jax.vjp inside adaptive_mala.  Stochastic
+                # (flipout) targets re-evaluate both accept-ratio sides with
+                # fresh keys, as on :meth:`CausalBGM.predict`.
+                bx2, by2, bv2 = batch
+                u2, nets2, prior2 = data_u, nets, self.prior_net
+
+                def log_prob(z, key):
+                    k_lik, k_prior = jax.random.split(key)
+                    rows = cb._neg_log_posterior_rows(cfg, nets2, z,
+                                                      bx2, by2, bv2, k_lik)
+                    rows = rows - dist.standard_normal_neg_log_prior(z)
+                    rows = rows + _conditional_prior_nll(cfg, prior2, z,
+                                                         u2, k_prior)
+                    return -rows
+
+                collect = cb._effect_collector(cfg, nets2, x_values, sample_y)
+                res = mcmc.adaptive_mala(
+                    log_prob, init, self._next_key(), burn_in=burn_in,
+                    n_keep=n_mcmc, step_size=0.1,
+                    recompute_current=cfg.use_bnn, collect=collect)
+            else:
+                res = mcmc.adaptive_mh(
+                    lp, init, self._next_key(),
+                    burn_in=burn_in, n_keep=n_mcmc, q_sd=q0, adaptive=adaptive,
+                    recompute_current=cfg.use_bnn, collect=collect_p,
+                    params=params, jit_cache=jit_cache)
             print(f"Final MCMC Acceptance Rate: {float(res.accept_rate):.4f}")
             return np.asarray(res.samples), float(res.accept_rate)
 

@@ -59,6 +59,16 @@ def test_identifiable_lifecycle(causal_data, tmp_path):
     assert diag["ess"].shape == (2,) and diag["rhat"].shape == (2,)
     assert 0.0 <= diag["accept_rate"] <= 1.0
 
+    # MALA through the conditional-prior target (beyond-reference)
+    adrf_m, ci_m, diag_m = m.predict((x, y, v), alpha=0.1, n_mcmc=30,
+                                     burn_in=30, x_values=[0.5, 1.0],
+                                     sampler="mala", return_diagnostics=True)
+    assert adrf_m.shape == (2,) and np.all(np.isfinite(adrf_m))
+    assert np.all(ci_m[:, 0] <= ci_m[:, 1])
+    assert 0.0 <= diag_m["accept_rate"] <= 1.0
+    with pytest.raises(ValueError, match="Unknown sampler"):
+        m.predict((x, y, v), x_values=[0.5], sampler="hmcx")
+
 
 def test_identifiable_conditional_prior_matters(causal_data, tmp_path):
     x, y, v = causal_data
