@@ -71,18 +71,18 @@ def run_seed(seed, args):
     t0 = time.time()
     kw = {} if (args.identifiable or args.ensemble) else dict(use_best_nets=False)
     adrf, _ = model.predict((x, y, v), alpha=0.01, n_mcmc=3000, burn_in=5000,
-                            x_values=grid, q_sd=1.0, **kw)
+                            x_values=grid, q_sd=1.0, bs=20000, **kw)
     out["rmse"] = float(np.sqrt(np.mean((adrf - true) ** 2)))
     out["mape"] = float(np.mean(np.abs((adrf - true) / true)))
     out["predict_s"] = round(time.time() - t0, 1)
     adrf_final = adrf
     if args.also_best and not (args.identifiable or args.ensemble):
         adrf_b, _ = model.predict((x, y, v), alpha=0.01, n_mcmc=3000, burn_in=5000,
-                                  x_values=grid, q_sd=1.0, use_best_nets=True)
+                                  x_values=grid, q_sd=1.0, bs=20000, use_best_nets=True)
         out["rmse_best_nets"] = float(np.sqrt(np.mean((adrf_b - true) ** 2)))
     if args.also_swa and not (args.identifiable or args.ensemble):
         adrf_s, _ = model.predict((x, y, v), alpha=0.01, n_mcmc=3000, burn_in=5000,
-                                  x_values=grid, q_sd=1.0, use_swa_nets=True)
+                                  x_values=grid, q_sd=1.0, bs=20000, use_swa_nets=True)
         out["rmse_swa_nets"] = float(np.sqrt(np.mean((adrf_s - true) ** 2)))
         # snapshot ensemble: average the final-nets and SWA-nets curves
         adrf_e = 0.5 * (adrf_final + adrf_s)

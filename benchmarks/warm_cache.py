@@ -52,8 +52,10 @@ def warm_causal(v_dim, z_dims, binary, use_bnn, n):
           use_egm_init=True, egm_n_iter=mcmc.CHUNK,
           egm_batches_per_eval=10**9, verbose=0)
     grid = None if binary else np.linspace(0, 3, 20)
+    # bs=n: the benchmarks predict with one full-data launch (the reference
+    # tutorial's bs=20000), so the warmed chain program must be n-row too.
     m.predict((x, y, v), alpha=0.1, n_mcmc=mcmc.CHUNK, burn_in=mcmc.CHUNK,
-              x_values=grid, q_sd=1.0)
+              x_values=grid, q_sd=1.0, bs=n)
     label = ("binary" if binary else "continuous") + ("/bnn" if use_bnn else "/plain")
     print(f"warmed {label} v_dim={v_dim} z={list(z_dims)} in {time.time()-t0:.0f} s",
           flush=True)

@@ -100,9 +100,13 @@ def run_causal(params, epochs, egm_iters):
         else:
             lo, hi = np.quantile(x, [0.05, 0.95])
             x_grid = np.linspace(lo, hi, 20)
+        # The reference tutorial predicts with bs=n (one full-data launch,
+        # tutorial_py.ipynb): exact-protocol intervals for BNN targets, and
+        # one chain instead of ceil(n/10000) on TPU (step cost is flat in
+        # chain count; docs/performance.md "Choosing bs").
         causal_pre, pos_intervals = model.predict(
             data=(x, y, v), alpha=0.01, n_mcmc=3000, burn_in=5000,
-            x_values=x_grid, q_sd=1.0)
+            x_values=x_grid, q_sd=1.0, bs=len(x))
         if truth_fn is not None:
             true = np.asarray(truth_fn(x_grid.astype("float32")))
             rmse = float(np.sqrt(np.mean((causal_pre - true) ** 2)))
