@@ -37,6 +37,29 @@ sys.modules["tensorflow_probability"] = tfp_shim
 sys.path.insert(0, "/root/reference/src")
 
 import numpy as np  # noqa: E402
+import tensorflow as tf  # noqa: E402
+
+# --- TF 2.10 BatchNorm semantics (the reference pins tensorflow==2.10.0,
+# src/setup.py:15).  The reference nets declare ``call(..., training=True)``
+# but NEVER pass a training flag at any call site (causalbgm/base.py: every
+# self.*_net(...) call).  Keras 2.10 resolves an unpassed flag to the
+# learning phase (0 -> inference mode), so every BatchNormalization runs
+# FROZEN: moving stats stay at their (0, 1) init and only the learnable
+# affine acts.  tf_keras 2.21 (this image) instead honors the signature
+# default training=True -> live batch statistics, which standardizes the
+# CONSTANT treatment column of f's input to ~0 at every ADRF grid point and
+# collapses the dose-response curve to a flat line (measured: seed 123 RMSE
+# 0.639 vs published 0.0188; see RESULTS.md).  Forcing inference mode on
+# every BN call reproduces the 2.10 behavior the published results ran on.
+_BN = tf.keras.layers.BatchNormalization
+
+
+class _FrozenBN(_BN):
+    def call(self, inputs, training=None):
+        return super().call(inputs, training=False)
+
+
+tf.keras.layers.BatchNormalization = _FrozenBN
 
 
 def main():
