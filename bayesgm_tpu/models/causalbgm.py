@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import datetime
 import os
+import warnings
 from functools import partial
 from typing import NamedTuple, Optional
 
@@ -471,6 +472,32 @@ def _dr_effect_collector_p(cfg: CBGMConfig, x_values, h_bw: float,
 # ---------------------------------------------------------------------------
 # Model class
 # ---------------------------------------------------------------------------
+
+
+def _resolve_predict_bs(cfg: CBGMConfig, bs, n_test: int) -> int:
+    """Resolve the predict subject-batch size against the BNN eps contract.
+
+    With ``use_bnn=True`` and continuous treatment, the flipout eps of each
+    evaluation is shared across a launch (reference semantics,
+    base.py:765-817); batching subjects scopes that sharing per batch and
+    narrows subject-averaged ADRF intervals vs one full-data launch.
+    ``bs=None`` (the default) therefore auto-sizes to ``n_test`` in that
+    regime (and to 10000 otherwise, where batching is exact).  An explicit
+    smaller ``bs`` is honored but warned about — never silent.
+    """
+    if bs is None:
+        if cfg.use_bnn and not cfg.binary_treatment:
+            return max(1, n_test)
+        return 10000
+    bs = max(1, int(bs))
+    if cfg.use_bnn and not cfg.binary_treatment and n_test > bs:
+        warnings.warn(
+            f"use_bnn=True with continuous treatment and n_test={n_test} > "
+            f"bs={bs}: subject batching scopes the shared flipout eps per "
+            "batch, narrowing ADRF intervals vs one full-data launch. Set "
+            "bs >= n_test (or leave bs=None) for reference-exact intervals.",
+            UserWarning, stacklevel=3)
+    return bs
 
 
 class CausalBGM:
@@ -1442,7 +1469,7 @@ class CausalBGM:
         return np.asarray(out).T  # (len(x_values), n_keep)
 
     def predict(self, data, alpha=0.01, n_mcmc=3000, burn_in=5000, x_values=None,
-                q_sd=1.0, sample_y=True, bs=10000, sampler="mh",
+                q_sd=1.0, sample_y=True, bs=None, sampler="mh",
                 use_best_nets=False, use_swa_nets=False, mesh=None,
                 return_diagnostics=False, return_draws=False,
                 estimator="plugin", dr_bw=None, dr_gps_floor=1e-3):
@@ -1478,9 +1505,11 @@ class CausalBGM:
         (reference semantics, base.py:765-817), which couples accept
         decisions within a launch; batching scopes that coupling per batch
         instead of across all n, so continuous-treatment ADRF intervals
-        come out slightly narrower than one full-data launch.  For
-        reference-exact BNN intervals set ``bs >= n_test`` (the flagship
-        recipes do).
+        come out slightly narrower than one full-data launch.  The default
+        ``bs=None`` therefore auto-sizes to ``n_test`` in that regime (and
+        to 10000 otherwise, where batching is exact); passing an explicit
+        smaller ``bs`` with a BNN + continuous treatment emits a
+        ``UserWarning`` (see ``_resolve_predict_bs``).
 
         ``mesh`` shards the per-subject chains (init state + data rows) over
         the device mesh — MCMC inference is embarrassingly parallel in
@@ -1509,7 +1538,7 @@ class CausalBGM:
 
         data_x, data_y, data_v = [np.asarray(a, dtype=np.float32) for a in data]
         n_test = len(data_x)
-        bs = max(1, int(bs))
+        bs = _resolve_predict_bs(cfg, bs, n_test)
         # use_best_nets / use_swa_nets: infer with the best-mse_y snapshot or
         # the tail weight-average instead of the final nets (the reference
         # always predicts with final nets; both levers measured in RESULTS.md).

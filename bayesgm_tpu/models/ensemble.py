@@ -65,7 +65,7 @@ class EnsembleCausalBGM:
         return (causal, *mses)
 
     def predict(self, data, alpha=0.01, n_mcmc=3000, burn_in=5000, x_values=None,
-                q_sd=1.0, sample_y=True, bs=10000, return_diagnostics=False,
+                q_sd=1.0, sample_y=True, bs=None, return_diagnostics=False,
                 return_draws=False, **kwargs):
         """Causal effects under the uniform model-average posterior.
 

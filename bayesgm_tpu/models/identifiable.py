@@ -363,7 +363,7 @@ class IdentifiableCausalBGM(cb.CausalBGM):
         return np.asarray(res.samples), np.asarray(data_u)
 
     def predict(self, data, alpha=0.01, n_mcmc=3000, burn_in=5000, x_values=None,
-                q_sd=1.0, sample_y=True, bs=10000, mesh=None, sampler="mh",
+                q_sd=1.0, sample_y=True, bs=None, mesh=None, sampler="mh",
                 use_best_nets=False, use_swa_nets=False,
                 return_diagnostics=False):
         """Same interface as :meth:`CausalBGM.predict` (incl.
@@ -373,8 +373,10 @@ class IdentifiableCausalBGM(cb.CausalBGM):
         (identifiable.py:350-420; ``burn_in`` is forwarded, fixing the
         reference's dropped-kwarg bug).  Subject batching combines per-batch
         draws at a common draw index — exact for the plain model; with
-        ``use_bnn=True`` prefer ``bs >= n_test`` (shared per-launch flipout
-        eps — see :meth:`CausalBGM._aggregate_predict`)."""
+        ``use_bnn=True`` + continuous treatment the default ``bs=None``
+        auto-sizes to ``n_test`` (shared per-launch flipout eps — see
+        :meth:`CausalBGM._aggregate_predict`) and an explicit smaller ``bs``
+        warns (``CausalBGM._resolve_predict_bs``)."""
         if sampler not in ("mh", "mala"):
             raise ValueError(f"Unknown sampler: {sampler!r} "
                              "(expected 'mh' or 'mala').")
@@ -387,7 +389,7 @@ class IdentifiableCausalBGM(cb.CausalBGM):
 
         data_x, data_y, data_v = [np.asarray(a, np.float32) for a in data]
         n_test = len(data_x)
-        bs = max(1, int(bs))
+        bs = cb._resolve_predict_bs(cfg, bs, n_test)
         adaptive = q_sd is None or q_sd <= 0
         q0 = 1.0 if adaptive else float(q_sd)
         nets = self.nets

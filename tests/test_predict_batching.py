@@ -4,6 +4,8 @@ sampler so the host-side (n_mcmc, n, x_dim) sample cube is bounded.
 Chains are per-subject independent, so batching only changes RNG pairing —
 per-subject posterior means agree within Monte-Carlo tolerance."""
 
+import warnings
+
 import numpy as np
 
 from bayesgm_tpu.models.bgm import BGM
@@ -227,3 +229,61 @@ def test_dr_estimator_guards(fitted_causal, tmp_path):
     with pytest.raises(ValueError, match="continuous treatment only"):
         mb.predict((xb, data[1], data[2]), estimator="dr", n_mcmc=10,
                    burn_in=10)
+
+
+# ---------------------------------------------------------------------------
+# BNN subject-batching contract (VERDICT r3 item 5): with use_bnn=True and
+# continuous treatment the per-launch shared flipout eps makes subject
+# batching narrow ADRF intervals, so bs=None must auto-size to n_test and an
+# explicit smaller bs must warn — never silent.
+# ---------------------------------------------------------------------------
+
+from types import SimpleNamespace
+
+from bayesgm_tpu.models.causalbgm import _resolve_predict_bs
+
+
+def test_resolve_predict_bs_contract():
+    bnn_cont = SimpleNamespace(use_bnn=True, binary_treatment=False)
+    plain_cont = SimpleNamespace(use_bnn=False, binary_treatment=False)
+    bnn_bin = SimpleNamespace(use_bnn=True, binary_treatment=True)
+
+    # bs=None auto-sizes to one full-data launch only in the BNN+continuous
+    # regime; elsewhere batching is exact and the 10000 default stands.
+    assert _resolve_predict_bs(bnn_cont, None, 25000) == 25000
+    assert _resolve_predict_bs(plain_cont, None, 25000) == 10000
+    assert _resolve_predict_bs(bnn_bin, None, 25000) == 10000
+
+    # Explicit bs >= n_test: no warning anywhere.
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert _resolve_predict_bs(bnn_cont, 30000, 25000) == 30000
+        assert _resolve_predict_bs(plain_cont, 64, 25000) == 64
+
+    # Explicit bs < n_test with BNN+continuous: honored but warned.
+    with pytest.warns(UserWarning, match="shared flipout eps"):
+        assert _resolve_predict_bs(bnn_cont, 512, 25000) == 512
+
+
+def test_bnn_continuous_predict_warns_on_small_bs(tmp_path):
+    import warnings as _w
+
+    rng = np.random.RandomState(4)
+    n, v_dim = 60, 4
+    v = rng.randn(n, v_dim).astype("float32")
+    x = (v[:, :1] + 0.3 * rng.randn(n, 1)).astype("float32")
+    y = (x + v[:, 1:2] + 0.3 * rng.randn(n, 1)).astype("float32")
+    p = dict(v_dim=v_dim, z_dims=[1, 1, 1, 2], binary_treatment=False,
+             dataset="bnn_bs", output_dir=str(tmp_path), use_bnn=True,
+             save_res=False, save_model=False)
+    m = CausalBGM(p, random_seed=6)
+    m.fit((x, y, v), epochs=1, epochs_per_eval=1, batch_size=16,
+          use_egm_init=False, verbose=0)
+    kw = dict(alpha=0.2, n_mcmc=10, burn_in=10, x_values=[1.0], q_sd=1.0)
+    with pytest.warns(UserWarning, match="shared flipout eps"):
+        m.predict((x, y, v), bs=30, **kw)
+    # Default bs=None: one full-data launch, no warning.
+    with _w.catch_warnings():
+        _w.simplefilter("error", UserWarning)
+        adrf, ci = m.predict((x, y, v), **kw)
+    assert adrf.shape == (1,) and np.all(np.isfinite(adrf))
