@@ -17,74 +17,74 @@ from bayesgm_tpu import __version__
 
 
 def _add_common_args(parser):
-    parser.add_argument("-o", "--output_dir", type=str, required=True, help="Output directory")
+    parser.add_argument("-o", "--output_dir", type=str, required=True, help="Directory where results and models are written.")
     parser.add_argument("-i", "--input", type=str, required=True,
-                        help="Input data file must be in csv or txt or npz format")
+                        help="Path to the input data (.csv, .txt, or .npz).")
     parser.add_argument("-t", "--delimiter", type=str, default="\t",
-                        help="Delimiter for txt or csv files (default: tab '\\t').")
-    parser.add_argument("-d", "--dataset", type=str, default="Mydata", help="Dataset name")
+                        help="Column separator for csv/txt inputs (default: tab '\\t').")
+    parser.add_argument("-d", "--dataset", type=str, default="Mydata", help="Name used to label the output sub-directory.")
     parser.add_argument("-F", "--save_format", type=str, default="txt",
-                        help="Saving format (default: txt)")
+                        help="File format for saved outputs (default: txt).")
     parser.add_argument("-save_model", default=False, action=argparse.BooleanOptionalAction,
-                        help="Whether to save model.")
+                        help="Persist trained weights to disk.")
     parser.add_argument("-save_res", default=True, action=argparse.BooleanOptionalAction,
-                        help="Whether to save intermediate results.")
+                        help="Write intermediate evaluation artifacts during training.")
     parser.add_argument("--use_bnn", default=True, action=argparse.BooleanOptionalAction,
-                        help="Whether use Bayesian neural nets.")
+                        help="Model the outcome/treatment heads as Bayesian (flipout) layers.")
     parser.add_argument("--use_egm_init", default=True, action=argparse.BooleanOptionalAction,
-                        help="Whether use EGM initialization.")
+                        help="Warm-start the latent table with the adversarial EGM stage.")
     parser.add_argument("--seed", type=int, default=123,
-                        help="Random seed for reproduction (default: 123).")
+                        help="PRNG seed; fixes the full run (default: 123).")
 
 
 def _add_causalbgm_args(parser):
     parser.add_argument("-B", "--binary_treatment", default=True,
                         action=argparse.BooleanOptionalAction,
-                        help="Whether use binary treatment setting.")
+                        help="Treat X as binary (ITE) instead of continuous (ADRF).")
     parser.add_argument("-Z", "--z_dims", type=int, nargs="+", default=[3, 3, 6, 6],
-                        help="Latent dimensions of Z (default: [3, 3, 6, 6]).")
+                        help="Sizes of the four latent blocks z0..z3 (default: [3, 3, 6, 6]).")
     parser.add_argument("--lr_theta", type=float, default=0.0001,
-                        help="Learning rate for updating model parameters (default: 0.0001).")
+                        help="Adam rate for the network weights in iterative updating (default: 0.0001).")
     parser.add_argument("--lr_z", type=float, default=0.0001,
-                        help="Learning rate for updating latent variables (default: 0.0001).")
+                        help="Adam rate for the per-sample latent table (default: 0.0001).")
     parser.add_argument("--x_values", type=float, nargs="+",
-                        help="List of treatment values to be predicted. Example: --x_values 0.5 1.0 1.5")
+                        help="Treatment grid for the dose-response curve, e.g. --x_values 0.5 1.0 1.5.")
     parser.add_argument("--g_units", type=int, nargs="+", default=[64, 64, 64, 64, 64],
-                        help="Units for covariates generative model.")
+                        help="Hidden-layer widths of the covariate decoder g.")
     parser.add_argument("--f_units", type=int, nargs="+", default=[64, 32, 8],
-                        help="Units for outcome generative model.")
+                        help="Hidden-layer widths of the outcome head f.")
     parser.add_argument("--h_units", type=int, nargs="+", default=[64, 32, 8],
-                        help="Units for treatment generative model.")
+                        help="Hidden-layer widths of the treatment head h.")
     parser.add_argument("--kl_weight", type=float, default=0.0001,
-                        help="Coefficient for KL divergence term in BNNs.")
+                        help="Weight on the variational KL penalty of the Bayesian layers.")
     parser.add_argument("--lr", type=float, default=0.0001,
-                        help="Learning rate for EGM initialization.")
+                        help="Adam rate used during the EGM warm-start stage.")
     parser.add_argument("--g_d_freq", type=int, default=5,
-                        help="Frequency for updating discriminators and generators.")
+                        help="Discriminator steps per generator step in the EGM stage.")
     parser.add_argument("--e_units", type=int, nargs="+", default=[64, 64, 64, 64, 64],
-                        help="Units for encoder network.")
+                        help="Hidden-layer widths of the encoder e.")
     parser.add_argument("--dz_units", type=int, nargs="+", default=[64, 32, 8],
-                        help="Units for latent discriminator network.")
+                        help="Hidden-layer widths of the latent-space critic.")
     parser.add_argument("--use-z-rec", default=True, action=argparse.BooleanOptionalAction,
-                        help="Use the reconstruction for latent features (default: True).")
+                        help="Add the latent round-trip reconstruction loss in EGM (default: on).")
     parser.add_argument("-N", "--n_iter", type=int, default=30000,
-                        help="Number of EGM iterations (default: 30000).")
+                        help="EGM warm-start steps (default: 30000).")
     parser.add_argument("--startoff", type=int, default=0,
-                        help="Iteration for starting evaluation (default: 0).")
+                        help="Skip evaluation before this training iteration (default: 0).")
     parser.add_argument("--batches_per_eval", type=int, default=500,
-                        help="Number of iterations per evaluation (default: 500).")
+                        help="Evaluate every this many EGM iterations (default: 500).")
     parser.add_argument("-E", "--epochs", type=int, default=100,
-                        help="Number of epochs in iterative updating algorithm.")
+                        help="Epochs of the iterative (post-EGM) updating stage.")
     parser.add_argument("-M", "--n_mcmc", type=int, default=3000,
-                        help="MCMC sample size (default: 3000).")
+                        help="Posterior draws kept per chain at predict time (default: 3000).")
     parser.add_argument("--burn_in", type=int, default=5000,
-                        help="Number of MH burn-in iterations (default: 5000).")
+                        help="Discarded MH warm-up steps before collection (default: 5000).")
     parser.add_argument("-q", "--q_sd", type=float, default=1.0,
-                        help="Proposal sd for MCMC; negative means adaptive (default: 1.0).")
+                        help="Random-walk proposal scale; <=0 switches to adaptive tuning (default: 1.0).")
     parser.add_argument("--epochs_per_eval", type=int, default=10,
-                        help="Number of epochs per evaluation (default: 10).")
+                        help="Evaluate every this many epochs (default: 10).")
     parser.add_argument("--alpha", type=float, default=0.01,
-                        help="Significance level (default: 0.01).")
+                        help="Credible-interval tail mass, e.g. 0.01 for 99-percent intervals (default: 0.01).")
 
 
 def _build_causalbgm_parser(subparsers):
@@ -107,47 +107,47 @@ def _build_bgm_parser(subparsers):
                     "and missing data imputation")
     _add_common_args(parser)
 
-    parser.add_argument("--z_dim", type=int, default=10, help="Latent dimension of Z (default: 10).")
+    parser.add_argument("--z_dim", type=int, default=10, help="Width of the latent code Z (default: 10).")
     parser.add_argument("--g_units", type=int, nargs="+", default=[64, 64, 64, 64, 64],
-                        help="Units for generative model.")
+                        help="Hidden-layer widths of the decoder g.")
     parser.add_argument("--e_units", type=int, nargs="+", default=[64, 64, 64, 64, 64],
-                        help="Units for encoder network.")
+                        help="Hidden-layer widths of the encoder e.")
     parser.add_argument("--dz_units", type=int, nargs="+", default=[64, 32, 8],
-                        help="Units for latent discriminator.")
+                        help="Hidden-layer widths of the latent-space critic.")
     parser.add_argument("--dx_units", type=int, nargs="+", default=[64, 32, 8],
-                        help="Units for data discriminator.")
+                        help="Hidden-layer widths of the data-space critic.")
     parser.add_argument("--lr_theta", type=float, default=0.0001,
-                        help="Learning rate for updating model parameters.")
+                        help="Adam rate for network weights in iterative updating.")
     parser.add_argument("--lr_z", type=float, default=0.0001,
-                        help="Learning rate for updating latent variables.")
+                        help="Adam rate for the per-sample latent table.")
     parser.add_argument("--lr", type=float, default=0.0001,
-                        help="Learning rate for EGM initialization.")
+                        help="Adam rate used during the EGM warm-start stage.")
     parser.add_argument("--kl_weight", type=float, default=0.0001,
-                        help="Coefficient for KL divergence term in BNNs.")
+                        help="Weight on the variational KL penalty of the Bayesian layers.")
     parser.add_argument("--g_d_freq", type=int, default=5,
-                        help="Frequency for updating discriminators and generators.")
+                        help="Discriminator steps per generator step in the EGM stage.")
     parser.add_argument("--gamma", type=float, default=10.0,
-                        help="Gradient penalty coefficient for EGM discriminator training.")
+                        help="WGAN-GP penalty strength on the EGM critics.")
     parser.add_argument("--egm_reg_alpha", type=float, default=0.01,
-                        help="Regularization coefficient for variance in EGM generator training.")
+                        help="Variance-regularizer weight in EGM generator training.")
     parser.add_argument("-N", "--egm_n_iter", type=int, default=20000,
-                        help="Number of EGM iterations (default: 20000).")
+                        help="EGM warm-start steps (default: 20000).")
     parser.add_argument("--egm_batches_per_eval", type=int, default=500,
-                        help="Iterations per evaluation in EGM initialization.")
+                        help="Evaluate every this many EGM iterations.")
     parser.add_argument("-E", "--epochs", type=int, default=100,
-                        help="Number of epochs in iterative updating algorithm.")
+                        help="Epochs of the iterative (post-EGM) updating stage.")
     parser.add_argument("--epochs_per_eval", type=int, default=5,
-                        help="Number of epochs per evaluation.")
-    parser.add_argument("--batch_size", type=int, default=32, help="Batch size (default: 32).")
+                        help="Evaluate every this many epochs.")
+    parser.add_argument("--batch_size", type=int, default=32, help="Mini-batch size for training (default: 32).")
     parser.add_argument("--alpha", type=float, default=0.05,
-                        help="Significance level for prediction intervals (default: 0.05).")
+                        help="Prediction-interval tail mass (default: 0.05).")
     parser.add_argument("-M", "--n_mcmc", type=int, default=5000,
-                        help="Number of retained MCMC samples (default: 5000).")
+                        help="Posterior draws kept by the HMC sampler (default: 5000).")
     parser.add_argument("--burn_in", type=int, default=5000,
-                        help="Number of burn-in iterations for MCMC (default: 5000).")
-    parser.add_argument("--step_size", type=float, default=0.01, help="HMC step size.")
+                        help="Discarded HMC warm-up steps (default: 5000).")
+    parser.add_argument("--step_size", type=float, default=0.01, help="Leapfrog integrator step size for HMC.")
     parser.add_argument("--num_leapfrog_steps", type=int, default=10,
-                        help="Number of leapfrog steps in HMC.")
+                        help="Leapfrog steps per HMC proposal.")
 
     parser.set_defaults(func=_run_bgm)
     return parser
