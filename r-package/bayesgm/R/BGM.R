@@ -35,9 +35,14 @@ BGM <- R6::R6Class("BGM",
 
     #' @description Fit on a data matrix.
     #' @param data Numeric matrix (n, x_dim).
-    #' @param epochs,batch_size,use_egm_init,egm_n_iter Training controls.
-    fit = function(data, epochs = 100L, batch_size = 32L,
-                   use_egm_init = TRUE, egm_n_iter = 20000L) {
+    #' @param epochs,epochs_per_eval,batch_size Training controls.
+    #' @param use_egm_init,egm_n_iter,egm_batches_per_eval EGM warm-start
+    #'   controls.
+    #' @param verbose 0 silences per-epoch logs.
+    fit = function(data, epochs = 100L, epochs_per_eval = 5L,
+                   batch_size = 32L, use_egm_init = TRUE,
+                   egm_n_iter = 20000L, egm_batches_per_eval = 500L,
+                   verbose = 1L) {
       data <- as.matrix(data)
       p <- self$params
       p$x_dim <- ncol(data)
@@ -45,8 +50,11 @@ BGM <- R6::R6Class("BGM",
         params = reticulate::dict(p),
         random_seed = if (is.null(private$seed)) NULL else as.integer(private$seed))
       model$fit(data = .np_f32(data), epochs = as.integer(epochs),
+                epochs_per_eval = as.integer(epochs_per_eval),
                 batch_size = as.integer(batch_size),
-                use_egm_init = use_egm_init, egm_n_iter = as.integer(egm_n_iter))
+                use_egm_init = use_egm_init, egm_n_iter = as.integer(egm_n_iter),
+                egm_batches_per_eval = as.integer(egm_batches_per_eval),
+                verbose = as.integer(verbose))
       private$model <- model
       invisible(self)
     },
@@ -54,14 +62,22 @@ BGM <- R6::R6Class("BGM",
     #' @description Impute NA entries with posterior means + intervals.
     #' @param data Matrix with NA for missing entries.
     #' @param alpha Significance level.
-    #' @param n_mcmc,burn_in HMC controls.
+    #' @param return_samples Also return the posterior sample cube.
+    #' @param bs Subject-batch size through the HMC sampler.
+    #' @param n_mcmc,burn_in,step_size,num_leapfrog_steps,seed HMC controls.
     #' @return list(imputed = ..., interval = ...)
-    predict = function(data, alpha = 0.05, n_mcmc = 5000L, burn_in = 5000L) {
+    predict = function(data, alpha = 0.05, return_samples = FALSE, bs = 100L,
+                       n_mcmc = 5000L, burn_in = 5000L, step_size = 0.01,
+                       num_leapfrog_steps = 10L, seed = 42L) {
       stopifnot(!is.null(private$model))
       data <- as.matrix(data)
       res <- private$model$predict(
         data = .np_f32(data), alpha = alpha,
-        n_mcmc = as.integer(n_mcmc), burn_in = as.integer(burn_in))
+        return_samples = return_samples, bs = as.integer(bs),
+        n_mcmc = as.integer(n_mcmc), burn_in = as.integer(burn_in),
+        step_size = step_size,
+        num_leapfrog_steps = as.integer(num_leapfrog_steps),
+        seed = as.integer(seed))
       list(imputed = as.matrix(res[[1]]), interval = res[[2]])
     },
 

@@ -37,9 +37,16 @@ CausalBGM <- R6::R6Class("CausalBGM",
 
     #' @description Fit on a (x, y, v) triplet.
     #' @param x,y,v Treatment, outcome, covariates.
-    #' @param epochs,batch_size,use_egm_init,egm_n_iter Training controls.
-    fit = function(x, y, v, epochs = 100L, batch_size = 32L,
-                   use_egm_init = TRUE, egm_n_iter = 30000L) {
+    #' @param epochs,epochs_per_eval,batch_size,startoff Training controls.
+    #' @param use_egm_init,egm_n_iter,egm_batches_per_eval EGM warm-start
+    #'   controls.
+    #' @param save_format Output file format when `save_res`/`save_model`.
+    #' @param verbose 0 silences per-epoch logs.
+    fit = function(x, y, v, epochs = 100L, epochs_per_eval = 5L,
+                   batch_size = 32L, startoff = 0L,
+                   use_egm_init = TRUE, egm_n_iter = 30000L,
+                   egm_batches_per_eval = 500L, save_format = "txt",
+                   verbose = 1L) {
       d <- .validate_triplet(x, y, v)
       p <- self$params
       p$v_dim <- ncol(d$v)
@@ -48,8 +55,12 @@ CausalBGM <- R6::R6Class("CausalBGM",
         random_seed = if (is.null(private$seed)) NULL else as.integer(private$seed))
       model$fit(
         data = reticulate::tuple(.np_f32(d$x), .np_f32(d$y), .np_f32(d$v)),
-        epochs = as.integer(epochs), batch_size = as.integer(batch_size),
-        use_egm_init = use_egm_init, egm_n_iter = as.integer(egm_n_iter))
+        epochs = as.integer(epochs),
+        epochs_per_eval = as.integer(epochs_per_eval),
+        batch_size = as.integer(batch_size), startoff = as.integer(startoff),
+        use_egm_init = use_egm_init, egm_n_iter = as.integer(egm_n_iter),
+        egm_batches_per_eval = as.integer(egm_batches_per_eval),
+        save_format = save_format, verbose = as.integer(verbose))
       private$model <- model
       invisible(self)
     },
@@ -59,16 +70,21 @@ CausalBGM <- R6::R6Class("CausalBGM",
     #' @param alpha Significance level.
     #' @param n_mcmc,burn_in,q_sd MCMC controls.
     #' @param x_values Treatment grid (continuous treatment only).
+    #' @param sample_y Draw y from the posterior predictive (vs its mean).
+    #' @param bs Subject-batch size; NULL (default) lets the engine
+    #'   auto-size (one full-data launch for BNN + continuous treatment).
     #' @return list(effect = ..., interval = ...)
     predict = function(x, y, v, alpha = 0.01, n_mcmc = 3000L,
-                       burn_in = 5000L, q_sd = 1.0, x_values = NULL) {
+                       burn_in = 5000L, q_sd = 1.0, x_values = NULL,
+                       sample_y = TRUE, bs = NULL) {
       stopifnot(!is.null(private$model))
       d <- .validate_triplet(x, y, v)
       args <- list(
         data = reticulate::tuple(.np_f32(d$x), .np_f32(d$y), .np_f32(d$v)),
         alpha = alpha, n_mcmc = as.integer(n_mcmc),
-        burn_in = as.integer(burn_in), q_sd = q_sd)
+        burn_in = as.integer(burn_in), q_sd = q_sd, sample_y = sample_y)
       if (!is.null(x_values)) args$x_values <- as.numeric(x_values)
+      if (!is.null(bs)) args$bs <- as.integer(bs)
       res <- do.call(private$model$predict, args)
       list(effect = as.numeric(res[[1]]), interval = as.matrix(res[[2]]))
     }
