@@ -160,6 +160,35 @@ def test_public_bgm_predict_mesh(tmp_path):
     assert intervals.shape == (16, 1, 2)
 
 
+def test_public_mnist_predict_mesh(tmp_path):
+    """MNISTBGM inpainting through the public API on an 8-device mesh: the
+    masked-pixel-gather Bernoulli log-posterior drives sharded per-image HMC
+    chains (VERDICT r3 item 7 — MNIST was the one model class never
+    exercised under a mesh)."""
+    from bayesgm_tpu.models.mnist import MNISTBGM
+
+    rng = np.random.RandomState(2)
+    data = (rng.rand(16, 28, 28, 1) > 0.7).astype("float32")
+    p = dict(z_dim=4, dataset="mesh_mnist", output_dir=str(tmp_path),
+             use_bnn=False, dz_units=[8], save_res=False, save_model=False)
+    mesh = make_mesh(8)
+    m = MNISTBGM(p, random_seed=7)
+    m.fit(data, epochs=1, epochs_per_eval=1, batch_size=8, use_egm_init=False,
+          verbose=0, mesh=mesh)
+    assert m.data_z.sharding.spec[0] == "data"
+    test = np.array(data[:8])
+    test[:, 10:18, 10:18, :] = np.nan  # same hole per image (shared pattern)
+    imputed, intervals = m.predict(test, alpha=0.2, bs=8, n_mcmc=10,
+                                   burn_in=10, mesh=mesh)
+    assert imputed.shape == test.shape and not np.any(np.isnan(imputed))
+    # Observed pixels pass through untouched; the hole is filled in [0, 1].
+    obs = ~np.isnan(test)
+    np.testing.assert_array_equal(imputed[obs], test[obs])
+    filled = imputed[~obs]
+    assert np.all((filled >= 0.0) & (filled <= 1.0))
+    assert np.asarray(intervals).shape == (8, 64, 2)
+
+
 def test_sharded_mh_predict(setup):
     cfg, nets, data, z = setup
     mesh = make_mesh(8)
