@@ -1472,7 +1472,8 @@ class CausalBGM:
                 q_sd=1.0, sample_y=True, bs=None, sampler="mh",
                 use_best_nets=False, use_swa_nets=False, mesh=None,
                 return_diagnostics=False, return_draws=False,
-                estimator="plugin", dr_bw=None, dr_gps_floor=1e-3):
+                estimator="plugin", dr_bw=None, dr_gps_floor=1e-3,
+                ess_target=None, ess_rhat=1.01):
         """Causal effects with posterior intervals from latent MCMC
         (reference predict, base.py:573-668).
 
@@ -1526,6 +1527,15 @@ class CausalBGM:
         the same functional); ``dr_gps_floor`` clips thin generalized-
         propensity tails.  ``sample_y`` is ignored: DR targets the mean dose-
         response, not the posterior predictive.
+
+        ``ess_target`` (beyond-reference; ``sampler="mh"`` only) turns on
+        ESS-adaptive chain length: sampling stops early once the minimum
+        effective sample size over the collected effect series reaches
+        ``ess_target`` AND split-R̂ is at most ``ess_rhat`` everywhere
+        (checked host-side at scan-chunk boundaries; see
+        ``ops.mcmc.adaptive_mh(early_stop=...)``).  ``n_mcmc`` remains the
+        hard cap.  The reference always runs the fixed 5000+3000 schedule
+        (base.py:860-898) regardless of measured mixing.
         """
         assert 0 < alpha < 1, "The significance level 'alpha' must be greater than 0 and less than 1."
         cfg = self.cfg
@@ -1554,6 +1564,13 @@ class CausalBGM:
         if estimator not in ("plugin", "dr"):
             raise ValueError(f"Unknown estimator: {estimator!r} "
                              "(expected 'plugin' or 'dr').")
+        early_stop = None
+        if ess_target is not None:
+            if sampler != "mh":
+                raise ValueError("ess_target requires sampler='mh' (early "
+                                 "stopping hooks the chunked MH chain).")
+            early_stop = dict(min_ess=float(ess_target),
+                              max_rhat=float(ess_rhat))
 
         print("MCMC Latent Variable Sampling ...")
 
@@ -1636,7 +1653,7 @@ class CausalBGM:
                     q_sd=q0, adaptive=adaptive, recompute_current=cfg.use_bnn,
                     collect=collect_p, paired_log_prob_fn=plp if paired else None,
                     multi_step_fn=multi_step if mesh is None else None,
-                    params=params, jit_cache=jit_cache)
+                    params=params, jit_cache=jit_cache, early_stop=early_stop)
             print(f"Final MCMC Acceptance Rate: {float(res.accept_rate):.4f}")
             return np.asarray(res.samples), float(res.accept_rate)
 
@@ -1679,18 +1696,20 @@ class CausalBGM:
             lower = np.zeros(n_test, np.float32)
             ess = np.zeros(n_test, np.float32) if return_diagnostics else None
             rhat = np.zeros(n_test, np.float32) if return_diagnostics else None
-            draws = (np.zeros((n_mcmc, n_test), np.float32)
-                     if return_draws else None)
+            draws_k = [] if return_draws else None
             for start in range(0, n_test, bs):
                 end = min(start + bs, n_test)
                 effects, rate = run_batch(data_x[start:end], data_y[start:end],
                                           data_v[start:end])
                 accept_rates.append((rate, end - start))
+                # Per-subject stats are valid on whatever draw count the
+                # batch returned (ESS-adaptive early stopping may stop
+                # batches at different lengths).
                 ite_mean[start:end] = effects.mean(axis=0)
                 upper[start:end] = np.quantile(effects, 1 - alpha / 2, axis=0)
                 lower[start:end] = np.quantile(effects, alpha / 2, axis=0)
                 if return_draws:
-                    draws[:, start:end] = effects
+                    draws_k.append(effects)
                 if return_diagnostics:
                     d = mcmc.chain_diagnostics(effects)
                     ess[start:end] = d["ess"]
@@ -1700,26 +1719,35 @@ class CausalBGM:
                 out.append(dict(ess=ess, rhat=rhat,
                                 accept_rate=self._pooled_rate(accept_rates)))
             if return_draws:
-                out.append(draws)
+                # A common draw matrix needs a common length: truncate every
+                # batch to the shortest (only differs under early stopping).
+                t_min = min(e.shape[0] for e in draws_k)
+                out.append(np.concatenate([e[:t_min] for e in draws_k],
+                                          axis=1))
             return tuple(out)
 
-        adrf_sums = np.zeros((len(x_values), n_mcmc), np.float32)
-        n_seen = 0
+        effects_k, weights = [], []
         ess_min, rhat_max = None, None
         for start in range(0, n_test, bs):
             end = min(start + bs, n_test)
             effects, rate = run_batch(data_x[start:end], data_y[start:end],
                                       data_v[start:end])
             accept_rates.append((rate, end - start))
-            adrf_sums += effects.T * (end - start)  # (len(x_values), n_mcmc)
-            n_seen += end - start
+            effects_k.append(effects)  # (n_draws, len(x_values))
+            weights.append(end - start)
             if return_diagnostics:
                 # Per-batch-chain diagnostics; the cross-batch average mixes
                 # independent chains and would inflate ESS (advisor r2).
                 d = mcmc.chain_diagnostics(effects.T, axis=1)
                 ess_min = d["ess"] if ess_min is None else np.minimum(ess_min, d["ess"])
                 rhat_max = d["rhat"] if rhat_max is None else np.maximum(rhat_max, d["rhat"])
-        causal_effects = adrf_sums / float(n_seen)
+        # Combine per-batch draws at a common draw index; with ESS-adaptive
+        # early stopping batches may stop at different lengths — truncate to
+        # the shortest (the combined series law is unchanged: chains are
+        # independent and stationary past burn-in).
+        t_min = min(e.shape[0] for e in effects_k)
+        adrf_sums = sum(e[:t_min].T * w for e, w in zip(effects_k, weights))
+        causal_effects = adrf_sums / float(sum(weights))
         adrf = causal_effects.mean(axis=1)
         upper = np.quantile(causal_effects, 1 - alpha / 2, axis=1)
         lower = np.quantile(causal_effects, alpha / 2, axis=1)

@@ -365,7 +365,7 @@ class IdentifiableCausalBGM(cb.CausalBGM):
     def predict(self, data, alpha=0.01, n_mcmc=3000, burn_in=5000, x_values=None,
                 q_sd=1.0, sample_y=True, bs=None, mesh=None, sampler="mh",
                 use_best_nets=False, use_swa_nets=False,
-                return_diagnostics=False):
+                return_diagnostics=False, ess_target=None, ess_rhat=1.01):
         """Same interface as :meth:`CausalBGM.predict` (incl.
         ``return_diagnostics`` and ``sampler="mala"`` — gradient-informed
         Langevin proposals through the conditional-prior target), with the
@@ -380,6 +380,13 @@ class IdentifiableCausalBGM(cb.CausalBGM):
         if sampler not in ("mh", "mala"):
             raise ValueError(f"Unknown sampler: {sampler!r} "
                              "(expected 'mh' or 'mala').")
+        early_stop = None
+        if ess_target is not None:
+            if sampler != "mh":
+                raise ValueError("ess_target requires sampler='mh' (early "
+                                 "stopping hooks the chunked MH chain).")
+            early_stop = dict(min_ess=float(ess_target),
+                              max_rhat=float(ess_rhat))
         assert 0 < alpha < 1, "The significance level 'alpha' must be greater than 0 and less than 1."
         cfg = self.cfg
         if not cfg.binary_treatment and x_values is None:
@@ -454,7 +461,7 @@ class IdentifiableCausalBGM(cb.CausalBGM):
                     lp, init, self._next_key(),
                     burn_in=burn_in, n_keep=n_mcmc, q_sd=q0, adaptive=adaptive,
                     recompute_current=cfg.use_bnn, collect=collect_p,
-                    params=params, jit_cache=jit_cache)
+                    params=params, jit_cache=jit_cache, early_stop=early_stop)
             print(f"Final MCMC Acceptance Rate: {float(res.accept_rate):.4f}")
             return np.asarray(res.samples), float(res.accept_rate)
 

@@ -108,7 +108,8 @@ def adaptive_mh(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000,
                 collect: Optional[Callable] = None,
                 paired_log_prob_fn: Optional[Callable] = None,
                 multi_step_fn: Optional[Callable] = None,
-                params=None, jit_cache: Optional[dict] = None) -> MHResult:
+                params=None, jit_cache: Optional[dict] = None,
+                early_stop: Optional[dict] = None) -> MHResult:
     """Vectorized adaptive random-walk Metropolis–Hastings.
 
     Parameters
@@ -157,10 +158,23 @@ def adaptive_mh(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000,
         fixed (log_prob_fn, paired_log_prob_fn, collect) semantic triple —
         entries are additionally keyed on shapes, dtypes, and the adaptation
         statics, but function *values* are the caller's contract.
+    early_stop : dict or None
+        Opt-in ESS-adaptive chain length (beyond-reference; the reference
+        always runs the full fixed schedule, causalbgm/base.py:860-898).
+        Keys: ``min_ess`` (required) — stop once the minimum effective
+        sample size over every collected series reaches this; ``max_rhat``
+        (default 1.01) — AND split-R̂ is at most this everywhere;
+        ``min_keep`` (default ``2 * CHUNK``) — never judge on fewer draws;
+        ``check_every`` (default ``CHUNK``) — diagnostic cadence in kept
+        steps.  Checks run host-side on the collected statistics at chunk
+        boundaries (the chain itself never leaves the device), so the cost
+        is one small transfer per check.  On stop, ``samples`` simply has
+        fewer than ``n_keep`` rows — callers size off the returned array.
 
     Returns
     -------
-    MHResult with ``samples`` stacked along the leading (n_keep) axis.
+    MHResult with ``samples`` stacked along the leading (n_keep) axis
+    (fewer rows if ``early_stop`` triggered).
     """
     if params is None:
         _lp_outer, _plp_outer, _col_outer = log_prob_fn, paired_log_prob_fn, collect
@@ -289,14 +303,39 @@ def adaptive_mh(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000,
             done += n_steps
 
     # Phase 2: sampling (no adaptation fires since t >= burn_in).
+    if early_stop is not None:
+        es_min_ess = float(early_stop["min_ess"])
+        es_max_rhat = float(early_stop.get("max_rhat", 1.01))
+        es_min_keep = int(early_stop.get("min_keep", 2 * CHUNK))
+        es_check_every = max(1, int(early_stop.get("check_every", CHUNK)))
     chunks = []
     done = 0
+    last_check = 0
     while done < n_keep:
         n_steps = min(CHUNK, n_keep - done)
         key, k_chunk = jax.random.split(key)
         carry, samples, rate = get_chunk("keep", n_steps)(carry, k_chunk, params)
         chunks.append(samples)
         done += n_steps
+        if (early_stop is not None and done < n_keep and done >= es_min_keep
+                and done - last_check >= es_check_every):
+            last_check = done
+            so_far = (jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
+                                   *chunks)
+                      if len(chunks) > 1 else chunks[0])
+            converged = True
+            for leaf in jax.tree.leaves(so_far):
+                arr = np.asarray(leaf)
+                ess = effective_sample_size(arr)
+                rhat = split_rhat(arr)
+                if (not np.all(np.isfinite(ess)) or np.min(ess) < es_min_ess
+                        or not np.all(np.isfinite(rhat))
+                        or np.max(rhat) > es_max_rhat):
+                    converged = False
+                    break
+            if converged:
+                chunks = [so_far]
+                break
 
     if not chunks:  # n_keep=0: burn-in only (throughput benchmarking)
         stacked = None

@@ -50,6 +50,34 @@ def test_adaptive_mh_collect_statistic():
     np.testing.assert_allclose(float(np.mean(np.asarray(res.samples))), 1.0, atol=0.25)
 
 
+def test_adaptive_mh_early_stop_triggers_on_fast_mixing_chain():
+    """ESS-adaptive chain length (VERDICT r3 item 4): a well-mixing target
+    reaches the ESS/R-hat gate at the first chunk boundary and the chain
+    stops early — samples has fewer than n_keep rows."""
+    init = jnp.zeros((64, 2))
+    res = mcmc.adaptive_mh(
+        _std_normal_logp, init, jax.random.PRNGKey(4), burn_in=300,
+        n_keep=3000, q_sd=1.0, adaptive=True,
+        collect=lambda s, k: jnp.mean(s, axis=0),  # (2,) series per step
+        early_stop=dict(min_ess=50.0, max_rhat=1.2, min_keep=500,
+                        check_every=500))
+    kept = np.asarray(res.samples).shape[0]
+    assert kept < 3000 and kept % mcmc.CHUNK == 0, kept
+    d = mcmc.chain_diagnostics(np.asarray(res.samples))
+    assert np.min(d["ess"]) >= 50.0
+    assert np.max(d["rhat"]) <= 1.2
+
+
+def test_adaptive_mh_early_stop_unreachable_runs_full_schedule():
+    init = jnp.zeros((16, 2))
+    res = mcmc.adaptive_mh(
+        _std_normal_logp, init, jax.random.PRNGKey(5), burn_in=100,
+        n_keep=1000, q_sd=1.0,
+        collect=lambda s, k: jnp.mean(s, axis=0),
+        early_stop=dict(min_ess=1e9, min_keep=500, check_every=500))
+    assert np.asarray(res.samples).shape[0] == 1000
+
+
 def test_hmc_recovers_shifted_normal():
     mu = jnp.array([1.5, -0.5])
 

@@ -231,6 +231,28 @@ def test_dr_estimator_guards(fitted_causal, tmp_path):
                    burn_in=10)
 
 
+def test_ess_adaptive_predict_stops_early(fitted_causal):
+    """predict(ess_target=...) stops collecting once the effect-series ESS
+    and split-R-hat clear the gate at a chunk boundary — fewer draws than
+    n_mcmc come back, and the point estimate stays consistent with the
+    full-schedule run (VERDICT r3 item 4)."""
+    m, data = fitted_causal
+    kw = dict(alpha=0.1, burn_in=200, x_values=[0.5, 1.5], q_sd=1.0)
+    adrf_full, _, draws_full = m.predict(data, n_mcmc=1500,
+                                         return_draws=True, **kw)
+    adrf_es, iv_es, draws_es = m.predict(data, n_mcmc=1500, ess_target=20.0,
+                                         ess_rhat=1.5, return_draws=True,
+                                         **kw)
+    assert draws_full.shape[1] == 1500
+    assert draws_es.shape[1] < 1500, draws_es.shape  # stopped at a boundary
+    assert np.all(np.isfinite(adrf_es)) and np.all(iv_es[:, 0] <= iv_es[:, 1])
+    np.testing.assert_allclose(adrf_es, adrf_full, atol=0.3)
+
+    with pytest.raises(ValueError, match="ess_target requires"):
+        m.predict(data, n_mcmc=10, burn_in=10, x_values=[1.0],
+                  sampler="mala", ess_target=10.0)
+
+
 # ---------------------------------------------------------------------------
 # BNN subject-batching contract (VERDICT r3 item 5): with use_bnn=True and
 # continuous treatment the per-launch shared flipout eps makes subject
