@@ -51,6 +51,9 @@ class CBGMConfig(NamedTuple):
     lr_theta: float
     lr_z: float
     g_d_freq: int
+    # Training-time deconfounding penalty on the f-update (beyond-reference;
+    # see _loss_y).  0.0 = reference-exact objective.
+    deconf_weight: float = 0.0
 
 
 DEFAULTS = dict(
@@ -127,7 +130,18 @@ def _loss_x(cfg, h_net, z, x, key):
 
 
 def _loss_y(cfg, f_net, z, x, y, key):
-    """-log p(Y|Z0,Z1,X) + optional KL (update_f_net, base.py:217-243)."""
+    """-log p(Y|Z0,Z1,X) + optional KL (update_f_net, base.py:217-243).
+
+    ``cfg.deconf_weight > 0`` (beyond-reference) adds a deconfounding
+    penalty: the squared correlation of the outcome residual ``y - mu_y``
+    with a cubic-polynomial basis of the treatment, estimated per batch.
+    Rationale (RESULTS.md round-3 deconfound study): the flagship's shared
+    ~0.017 ADRF bias lives in the trained f and is correlated 0.67 with the
+    confounded-minus-true direction — i.e. f leaves a treatment-dependent
+    residual that g-computation then integrates into the dose-response.
+    Driving corr(residual, phi(x)) to zero at training time attacks that
+    channel directly; the reference objective is the ``weight = 0`` limit.
+    """
     z0, z1, _ = _split_z(cfg, z)
     out = _apply(cfg, f_net, jnp.concatenate([z0, z1, x], axis=-1), key)
     mu_y = out[:, :1]
@@ -135,6 +149,16 @@ def _loss_y(cfg, f_net, z, x, y, key):
     loss_mse = jnp.mean((y - mu_y) ** 2)
     loss = jnp.mean(dist.gaussian_nll_iso(y, mu_y, sigma_sq_y, 1))
     loss = loss + _kl(cfg, f_net) * cfg.kl_weight
+    if cfg.deconf_weight:
+        r = (y - mu_y)[:, 0]
+        rc = r - jnp.mean(r)
+        xs = x[:, 0]
+        feats = jnp.stack([xs, xs**2, xs**3], axis=1)
+        fc = feats - jnp.mean(feats, axis=0, keepdims=True)
+        fc = fc / (jnp.sqrt(jnp.mean(fc**2, axis=0, keepdims=True)) + 1e-6)
+        cov = jnp.mean(fc * rc[:, None], axis=0)
+        r2 = jnp.sum(cov**2) / (jnp.mean(rc**2) + 1e-6)
+        loss = loss + cfg.deconf_weight * r2
     return loss, loss_mse
 
 
@@ -540,6 +564,7 @@ class CausalBGM:
             lr_theta=float(p["lr_theta"]),
             lr_z=float(p["lr_z"]),
             g_d_freq=int(p["g_d_freq"]),
+            deconf_weight=float(p.get("deconf_weight", 0.0)),
         )
         from bayesgm_tpu.utils.cache import enable_compilation_cache
 

@@ -39,7 +39,8 @@ def run_seed(seed, args):
         kl_weight=args.kl_weight, lr=args.lr, lr_theta=args.lr_theta,
         lr_z=args.lr_z, use_z_rec=args.use_z_rec, lr_decay=args.lr_decay,
         g_units=args.g_units, e_units=args.e_units,
-        f_units=args.f_units, h_units=args.h_units)
+        f_units=args.f_units, h_units=args.h_units,
+        deconf_weight=args.deconf_weight)
     if args.sigma_y is not None:
         params["sigma_y"] = args.sigma_y
     if args.sigma_x is not None:
@@ -119,6 +120,10 @@ def main():
     p.add_argument("--lr_theta", type=float, default=1e-4)
     p.add_argument("--lr_z", type=float, default=1e-4)
     p.add_argument("--use_z_rec", type=float, default=1.0)
+    p.add_argument("--deconf_weight", type=float, default=0.0,
+                   help="training-time deconfounding penalty on the f-update "
+                        "(squared residual-vs-treatment correlation; 0 = "
+                        "reference-exact objective)")
     p.add_argument("--z_dims", type=int, nargs="+", default=[1, 1, 1, 7])
     p.add_argument("--lr_decay", type=str, default=None,
                    choices=[None, "cosine", "linear"])

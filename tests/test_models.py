@@ -287,3 +287,42 @@ def test_causalbgm_mala_bnn_runs_fresh_noise(causal_data, tmp_path):
                          x_values=[0.5, 1.5], sampler="mala")
     assert adrf.shape == (2,) and ci.shape == (2, 2)
     assert np.all(np.isfinite(adrf)) and np.all(ci[:, 0] <= ci[:, 1])
+
+
+def test_deconf_penalty_loss_and_training(causal_data, tmp_path):
+    """deconf_weight > 0 adds the residual-vs-treatment correlation penalty
+    to the f-update objective (VERDICT r3 item 2); weight 0 is the
+    reference-exact objective, and training still jits and stays finite."""
+    from bayesgm_tpu.models import causalbgm as cb
+    from bayesgm_tpu.ops import nn
+
+    x, y, v = causal_data
+    m0 = CausalBGM(_causal_params(tmpdir=str(tmp_path)), random_seed=3)
+    cfg0 = m0.cfg
+    assert cfg0.deconf_weight == 0.0
+    cfg1 = cfg0._replace(deconf_weight=5.0)
+
+    rng = np.random.RandomState(0)
+    z = jnp.asarray(rng.randn(64, sum(cfg0.z_dims)), jnp.float32)
+    xs = jnp.asarray(rng.rand(64, 1), jnp.float32)
+    # Outcome with a treatment-shaped component the random-init f misses:
+    # the residual correlates with x, so the penalty must be active.
+    ys = 3.0 * xs + jnp.asarray(0.1 * rng.randn(64, 1), jnp.float32)
+    key = jax.random.PRNGKey(1)
+    l0, mse0 = cb._loss_y(cfg0, m0.nets["f"], z, xs, ys, key)
+    l1, mse1 = cb._loss_y(cfg1, m0.nets["f"], z, xs, ys, key)
+    assert float(l1) > float(l0)  # penalty is positive here
+    np.testing.assert_allclose(float(mse0), float(mse1))  # aux unchanged
+    grads = jax.grad(lambda f: cb._loss_y(cfg1, f, z, xs, ys, key)[0])(
+        m0.nets["f"])
+    assert all(np.all(np.isfinite(g)) for g in jax.tree.leaves(grads))
+
+    # End-to-end: a penalized fit runs (scan-jitted) and predicts finite.
+    m1 = CausalBGM(_causal_params(tmpdir=str(tmp_path), deconf_weight=1.0),
+                   random_seed=3)
+    assert m1.cfg.deconf_weight == 1.0
+    m1.fit((x, y, v), epochs=1, epochs_per_eval=1, batch_size=16,
+           use_egm_init=False, verbose=0)
+    adrf, ci = m1.predict((x, y, v), alpha=0.1, n_mcmc=10, burn_in=20,
+                          x_values=[0.5, 1.5], q_sd=1.0)
+    assert np.all(np.isfinite(adrf)) and np.all(ci[:, 0] <= ci[:, 1])
