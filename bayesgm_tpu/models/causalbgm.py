@@ -1306,6 +1306,11 @@ class CausalBGM:
                     fw, fs = pk.split_flipout_flat(params["flat"][2])
                     return gw, hw, fw, gs + hs + fs
 
+                # Antithetic eps across the paired halves (beyond-reference,
+                # opt-in): set 1 = -set 0, so the accept ratio's two sides
+                # see negatively-correlated weight noise (marginals exact).
+                anti = bool(self.params.get("antithetic_eps", False))
+
                 if mesh is None:
                     def lp(params, z, key):
                         gw, hw, fw, sigs = split_all(params)
@@ -1330,7 +1335,8 @@ class CausalBGM:
                         # as in the reference's two get_log_posterior calls.
                         k_eps, k_sig = jax.random.split(k1)
                         ps2 = pk.flipout_step_perturbations(sigs, k_eps,
-                                                            n_sets=2)
+                                                            n_sets=2,
+                                                            antithetic=anti)
                         neg = fused_paired(zz, x2, y2, v2,
                                            pk.key_to_seed(k_sig),
                                            gw, hw, fw, ps2)
@@ -1381,7 +1387,8 @@ class CausalBGM:
                         zz = jnp.stack([z_prop, z_cur])
                         k_eps, k_sig = jax.random.split(k1)
                         ps2 = pk.flipout_step_perturbations(sigs, k_eps,
-                                                            n_sets=2)
+                                                            n_sets=2,
+                                                            antithetic=anti)
                         sm = jax.shard_map(
                             paired_local, mesh=mesh,
                             in_specs=(P(None, mesh_axis), P(None, mesh_axis),

@@ -1015,7 +1015,7 @@ def split_flipout_flat(flat):
     return w, sigs
 
 
-def flipout_step_perturbations(sigs, key, n_sets=1):
+def flipout_step_perturbations(sigs, key, n_sets=1, antithetic=False):
     """Fresh per-evaluation perturbation matrices P = sigma * eps.
 
     ``sigs`` is the concatenated per-layer sigma list (g, then h, then f);
@@ -1024,11 +1024,21 @@ def flipout_step_perturbations(sigs, key, n_sets=1):
     leading set axis holding two INDEPENDENT draws — the paired MH launch
     assigns set 0 to the proposed half and set 1 to the current half, exactly
     reproducing the reference's two separate get_log_posterior calls per
-    step (base.py:865-866)."""
+    step (base.py:865-866).
+
+    ``antithetic=True`` (n_sets=2 only; beyond-reference, gated behind
+    params['antithetic_eps']) sets eps_1 = -eps_0: each half's MARGINAL eps
+    law is unchanged (standard normals are symmetric), but the two sides of
+    the accept ratio see negatively-correlated weight noise, reducing the
+    variance of their logp difference at zero extra kernel cost."""
     # One fused draw for all layers (sliced per layer): a dozen separate
     # threefry launches per MH step cost more than the normals themselves.
     sizes = [int(s.shape[0]) * int(s.shape[1]) for s in sigs]
-    flat = jax.random.normal(key, (n_sets, sum(sizes)), jnp.float32)
+    if antithetic and n_sets == 2:
+        half = jax.random.normal(key, (1, sum(sizes)), jnp.float32)
+        flat = jnp.concatenate([half, -half], axis=0)
+    else:
+        flat = jax.random.normal(key, (n_sets, sum(sizes)), jnp.float32)
     out, off = [], 0
     for s, sz in zip(sigs, sizes):
         out.append(s * flat[:, off:off + sz].reshape((n_sets,) + s.shape))

@@ -40,7 +40,8 @@ def run_seed(seed, args):
         lr_z=args.lr_z, use_z_rec=args.use_z_rec, lr_decay=args.lr_decay,
         g_units=args.g_units, e_units=args.e_units,
         f_units=args.f_units, h_units=args.h_units,
-        deconf_weight=args.deconf_weight)
+        deconf_weight=args.deconf_weight,
+        antithetic_eps=args.antithetic_eps)
     if args.sigma_y is not None:
         params["sigma_y"] = args.sigma_y
     if args.sigma_x is not None:
@@ -71,10 +72,12 @@ def run_seed(seed, args):
                fit_s=round(t_fit, 1))
     t0 = time.time()
     kw = {} if (args.identifiable or args.ensemble) else dict(use_best_nets=False)
-    adrf, _ = model.predict((x, y, v), alpha=0.01, n_mcmc=3000, burn_in=5000,
-                            x_values=grid, q_sd=1.0, bs=20000, **kw)
+    adrf, iv = model.predict((x, y, v), alpha=0.01, n_mcmc=3000, burn_in=5000,
+                             x_values=grid, q_sd=1.0, bs=20000, **kw)
     out["rmse"] = float(np.sqrt(np.mean((adrf - true) ** 2)))
     out["mape"] = float(np.mean(np.abs((adrf - true) / true)))
+    out["iv_width_mean"] = float(np.mean(iv[:, 1] - iv[:, 0]))
+    out["coverage"] = float(np.mean((true >= iv[:, 0]) & (true <= iv[:, 1])))
     out["predict_s"] = round(time.time() - t0, 1)
     adrf_final = adrf
     if args.also_best and not (args.identifiable or args.ensemble):
@@ -124,6 +127,9 @@ def main():
                    help="training-time deconfounding penalty on the f-update "
                         "(squared residual-vs-treatment correlation; 0 = "
                         "reference-exact objective)")
+    p.add_argument("--antithetic_eps", action="store_true",
+                   help="paired MH launches use antithetic flipout eps "
+                        "(set 1 = -set 0) instead of independent sets")
     p.add_argument("--z_dims", type=int, nargs="+", default=[1, 1, 1, 7])
     p.add_argument("--lr_decay", type=str, default=None,
                    choices=[None, "cosine", "linear"])

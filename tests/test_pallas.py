@@ -492,6 +492,16 @@ def test_flipout_step_perturbations_distribution():
     # the two sets are independent draws, not copies
     assert float(jnp.abs(ps2[0][0] - ps2[0][1]).max()) > 0.1
 
+    # antithetic=True: set 1 is exactly the negation of set 0 (each half's
+    # marginal eps law unchanged — normals are symmetric), same shapes.
+    psa = pk.flipout_step_perturbations(sigs, jax.random.PRNGKey(1), n_sets=2,
+                                        antithetic=True)
+    assert [p.shape for p in psa] == [(2, 64, 32), (2, 32, 8)]
+    for p in psa:
+        np.testing.assert_allclose(np.asarray(p[1]), -np.asarray(p[0]),
+                                   rtol=1e-6)
+    assert float(jnp.abs(psa[0][0]).max()) > 0.0
+
 
 @pytest.mark.parametrize("binary", [False, True])
 def test_hosteps_bnn_logp_matches_mirror_on_cpu(monkeypatch, binary):
