@@ -1,7 +1,8 @@
 """Compare the in-image REFERENCE flagship campaign against ours.
 
 Inputs (JSONL):
-  - benchmarks/artifacts/ref_hi_r3.jsonl   (run_reference_hi.py output)
+  - benchmarks/artifacts/ref_hi_r{4,3}.jsonl (run_reference_hi.py output;
+    newest round present wins)
   - benchmarks/artifacts/deconfound_r3.jsonl (our variant-A baseline runs,
     same data draw data_seed=0, exact protocol)
 
@@ -29,7 +30,13 @@ def load(path):
 
 
 def main():
-    ref = load(os.path.join(ART, "ref_hi_r3.jsonl"))
+    # Prefer the newest campaign artifact present.
+    ref = []
+    for name in ("ref_hi_r4.jsonl", "ref_hi_r3.jsonl"):
+        p = os.path.join(ART, name)
+        if os.path.exists(p):
+            ref = load(p)
+            break
     ours = [r for r in load(os.path.join(ART, "deconfound_r3.jsonl"))
             if r["variant"] == "A"]
     if not ref:
