@@ -63,6 +63,24 @@ def _load_causal_dataset(name):
     raise ValueError(f"Unknown causal dataset {name}")
 
 
+def _predict_overrides(params):
+    """Pop and validate the optional ``predict:`` mapping from a YAML config.
+
+    Overrides inference kwargs (burn_in / n_mcmc / ess_target / q_sd /
+    alpha).  This is how the measured fast-predict recipe ships
+    (configs/Sim_Hirano_Imbens_fast.yaml: burn_in=1000 + ess_target=400
+    matches the reference's fixed 5000+3000 schedule at half the steps on
+    every probed seed — RESULTS.md round 4).
+    """
+    overrides = dict(params.pop("predict", None) or {})
+    allowed = {"burn_in", "n_mcmc", "ess_target", "q_sd", "alpha"}
+    unknown = set(overrides) - allowed
+    if unknown:
+        raise ValueError(f"Unknown predict override(s) {sorted(unknown)}; "
+                         f"valid keys: {sorted(allowed)}")
+    return overrides
+
+
 def run_causal(params, epochs, egm_iters):
     """The optional ``model:`` config key picks the engine:
     ``causalbgm`` (default) | ``identifiable`` | ``fullmcmc`` | ``ensemble``."""
@@ -75,6 +93,7 @@ def run_causal(params, epochs, egm_iters):
 
     engines = {"causalbgm": CausalBGM, "identifiable": IdentifiableCausalBGM,
                "fullmcmc": FullMCMCCausalBGM, "ensemble": EnsembleCausalBGM}
+    predict_overrides = _predict_overrides(params)
     engine = params.pop("model", "causalbgm")
     if engine not in engines:
         raise ValueError(f"Unknown model '{engine}'; valid options: "
@@ -89,8 +108,9 @@ def run_causal(params, epochs, egm_iters):
         model.run_mcmc_training((x, y, v))
 
     if params.get("binary_treatment"):
-        causal_pre, pos_intervals = model.predict(
-            data=(x, y, v), alpha=0.01, n_mcmc=3000, burn_in=5000, q_sd=1.0)
+        kwargs = dict(alpha=0.01, n_mcmc=3000, burn_in=5000, q_sd=1.0)
+        kwargs.update(predict_overrides)
+        causal_pre, pos_intervals = model.predict(data=(x, y, v), **kwargs)
         print("ATE estimate:", float(np.mean(causal_pre)))
     else:
         # HI uses the reference tutorial's fixed [0, 3] grid; the other
@@ -104,9 +124,10 @@ def run_causal(params, epochs, egm_iters):
         # tutorial_py.ipynb): exact-protocol intervals for BNN targets, and
         # one chain instead of ceil(n/10000) on TPU (step cost is flat in
         # chain count; docs/performance.md "Choosing bs").
+        kwargs = dict(alpha=0.01, n_mcmc=3000, burn_in=5000, q_sd=1.0)
+        kwargs.update(predict_overrides)
         causal_pre, pos_intervals = model.predict(
-            data=(x, y, v), alpha=0.01, n_mcmc=3000, burn_in=5000,
-            x_values=x_grid, q_sd=1.0, bs=len(x))
+            data=(x, y, v), x_values=x_grid, bs=len(x), **kwargs)
         if truth_fn is not None:
             true = np.asarray(truth_fn(x_grid.astype("float32")))
             rmse = float(np.sqrt(np.mean((causal_pre - true) ** 2)))

@@ -31,6 +31,10 @@ def test_config_constructs_model(path, tmp_path):
         # same dispatch map as main.py run_causal
         engines = {"causalbgm": CausalBGM, "identifiable": IdentifiableCausalBGM,
                    "fullmcmc": FullMCMCCausalBGM, "ensemble": EnsembleCausalBGM}
+        # main.py pops + validates the optional predict: block before
+        # constructing the model — mirror it so fast-recipe configs route.
+        import main as driver
+        driver._predict_overrides(params)
         engine = params.pop("model", "causalbgm")
         assert engine in engines, f"config uses unknown model '{engine}'"
         cls = engines[engine]
@@ -48,3 +52,33 @@ def test_config_constructs_model(path, tmp_path):
         assert m.cfg.z_dim >= 1
     else:  # pragma: no cover - new config without a branch
         pytest.fail(f"config {path} has unrouted dataset {name}")
+
+
+def test_predict_overrides_block():
+    """main._predict_overrides pops the block, validates keys, tolerates absence."""
+    import main as driver
+
+    params = {"dataset": "Sim_Hirano_Imbens", "predict": {"burn_in": 1000, "ess_target": 400}}
+    ov = driver._predict_overrides(params)
+    assert ov == {"burn_in": 1000, "ess_target": 400}
+    assert "predict" not in params
+
+    assert driver._predict_overrides({"dataset": "x"}) == {}
+
+    with pytest.raises(ValueError, match="Unknown predict override"):
+        driver._predict_overrides({"predict": {"burnin": 1}})
+
+
+def test_fast_config_merge_matches_shipped_recipe():
+    """The shipped fast config carries exactly the measured recipe and the
+    merge produces the kwargs main.py passes to predict()."""
+    path = os.path.join(os.path.dirname(__file__), "..", "configs",
+                        "Sim_Hirano_Imbens_fast.yaml")
+    params = yaml.safe_load(open(path))
+    import main as driver
+
+    ov = driver._predict_overrides(params)
+    kwargs = dict(alpha=0.01, n_mcmc=3000, burn_in=5000, q_sd=1.0)
+    kwargs.update(ov)
+    assert kwargs == {"alpha": 0.01, "n_mcmc": 3000, "burn_in": 1000,
+                      "q_sd": 1.0, "ess_target": 400}
