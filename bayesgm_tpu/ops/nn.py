@@ -302,13 +302,49 @@ def flipout_dense_apply(p, x, key):
     with r_in/r_out random signs and eps ~ N(0, I) shared across the batch.
     """
     k_eps, k_in, k_out = jax.random.split(key, 3)
-    scale = jax.nn.softplus(p["rho"])
     eps = jax.random.normal(k_eps, p["loc"].shape, jnp.float32)
     r_in = _rademacher(k_in, (x.shape[0], x.shape[1]))
     r_out = _rademacher(k_out, (x.shape[0], p["loc"].shape[1]))
+    return _flipout_dense_pre(p, x, eps, r_in, r_out)
+
+
+def _flipout_dense_pre(p, x, eps, r_in, r_out):
+    """Flipout dense with the randomness passed in (see _fused_flipout_draws)."""
+    scale = jax.nn.softplus(p["rho"])
     mean_out = jnp.dot(x, p["loc"], preferred_element_type=jnp.float32)
     pert_out = jnp.dot(x * r_in, scale * eps, preferred_element_type=jnp.float32) * r_out
     return mean_out + pert_out + p["b"]
+
+
+def _fused_flipout_draws(key, layers, batch):
+    """One eps draw + one sign draw for a whole flipout-MLP call.
+
+    Per-layer draws cost 3 tiny threefry launches per layer; on TPU the
+    launch + threefry overhead at training batch sizes (bs=32) dominates the
+    normals themselves (same lesson as the predict path's fused host-eps
+    draw, pallas_kernels.flipout_step_perturbations).  Drawing one flat
+    normal for every layer's eps and one (batch, sum(in+out)) Rademacher
+    block for every layer's signs is exactly distribution-preserving —
+    independent standard normals / signs either way — and measured ~1.5x on
+    the BNN training epoch (RESULTS.md round 4).  PRNG streams differ from
+    the per-layer form, so per-draw values shift within the same law.
+
+    Returns (eps_list, r_in_list, r_out_list) aligned with ``layers``.
+    """
+    dims = [(p["loc"].shape[0], p["loc"].shape[1]) for p in layers]
+    k_eps, k_sign = jax.random.split(key)
+    eps_flat = jax.random.normal(k_eps, (sum(i * o for i, o in dims),),
+                                 jnp.float32)
+    signs = _rademacher(k_sign, (batch, sum(i + o for i, o in dims)))
+    eps_list, r_in_list, r_out_list = [], [], []
+    eo = so = 0
+    for i, o in dims:
+        eps_list.append(eps_flat[eo:eo + i * o].reshape(i, o))
+        eo += i * o
+        r_in_list.append(signs[:, so:so + i])
+        r_out_list.append(signs[:, so + i:so + i + o])
+        so += i + o
+    return eps_list, r_in_list, r_out_list
 
 
 def flipout_dense_kl(p, prior_scale: float = 1.0, bias_prior_scale: float | None = None):
@@ -343,10 +379,10 @@ def init_flipout_mlp(key, input_dim: int, output_dim: int, hidden: Sequence[int]
 
 def flipout_mlp_apply(net, x, key):
     x = frozen_batchnorm_apply(net["norm"], x)
-    keys = jax.random.split(key, len(net["layers"]))
-    for p, k in zip(net["layers"][:-1], keys[:-1]):
-        x = leaky_relu(flipout_dense_apply(p, x, k))
-    return flipout_dense_apply(net["layers"][-1], x, keys[-1])
+    eps, r_in, r_out = _fused_flipout_draws(key, net["layers"], x.shape[0])
+    for j, p in enumerate(net["layers"][:-1]):
+        x = leaky_relu(_flipout_dense_pre(p, x, eps[j], r_in[j], r_out[j]))
+    return _flipout_dense_pre(net["layers"][-1], x, eps[-1], r_in[-1], r_out[-1])
 
 
 def flipout_mlp_kl(net, prior_scale: float = 1.0, bias_prior_scale: float | None = None):
@@ -387,11 +423,12 @@ def init_flipout_variational_mlp(key, input_dim: int, output_dim: int, hidden: S
 def flipout_variational_mlp_apply(params, x, key, state=None, train: bool = True, eps: float = 1e-6):
     bn_state = None if state is None else state["norm"]
     x, new_bn = batchnorm_apply(params["norm"], x, bn_state, train=train)
-    keys = jax.random.split(key, len(params["layers"]) + 2)
-    for p, k in zip(params["layers"], keys[:-2]):
-        x = leaky_relu(flipout_dense_apply(p, x, k))
-    mean = flipout_dense_apply(params["mean"], x, keys[-2])
-    var = jax.nn.softplus(flipout_dense_apply(params["var"], x, keys[-1])) + eps
+    layers = [*params["layers"], params["mean"], params["var"]]
+    e, ri, ro = _fused_flipout_draws(key, layers, x.shape[0])
+    for j, p in enumerate(params["layers"]):
+        x = leaky_relu(_flipout_dense_pre(p, x, e[j], ri[j], ro[j]))
+    mean = _flipout_dense_pre(params["mean"], x, e[-2], ri[-2], ro[-2])
+    var = jax.nn.softplus(_flipout_dense_pre(params["var"], x, e[-1], ri[-1], ro[-1])) + eps
     new_state = None if state is None else {"norm": new_bn}
     return mean, var, new_state
 
@@ -427,12 +464,13 @@ def flipout_lowrank_variational_mlp_apply(params, x, key, meta, state=None, trai
     # Frozen input norm: the reference invokes it without a training flag
     # (bnn.py:187), so only gamma/beta act.
     x = frozen_batchnorm_apply(params["norm"], x)
-    keys = jax.random.split(key, len(params["layers"]) + 3)
-    for p, k in zip(params["layers"], keys[:-3]):
-        x = leaky_relu(flipout_dense_apply(p, x, k))
-    mean = flipout_dense_apply(params["mean"], x, keys[-3])
-    var_diag = jax.nn.softplus(flipout_dense_apply(params["var"], x, keys[-2])) + eps
-    u_flat = flipout_dense_apply(params["lowrank"], x, keys[-1])
+    layers = [*params["layers"], params["mean"], params["var"], params["lowrank"]]
+    e, ri, ro = _fused_flipout_draws(key, layers, x.shape[0])
+    for j, p in enumerate(params["layers"]):
+        x = leaky_relu(_flipout_dense_pre(p, x, e[j], ri[j], ro[j]))
+    mean = _flipout_dense_pre(params["mean"], x, e[-3], ri[-3], ro[-3])
+    var_diag = jax.nn.softplus(_flipout_dense_pre(params["var"], x, e[-2], ri[-2], ro[-2])) + eps
+    u_flat = _flipout_dense_pre(params["lowrank"], x, e[-1], ri[-1], ro[-1])
     u = u_flat.reshape(-1, meta["output_dim"], meta["rank"])
     return mean, var_diag, u, state
 

@@ -152,3 +152,30 @@ def test_standard_normal_log_prior():
     w = jnp.array([0.0, 1.0])
     expected = -0.5 * 1.0 - np.log(2 * np.pi)
     np.testing.assert_allclose(float(nn.standard_normal_log_prior(w)), expected, rtol=1e-5)
+
+
+def test_flipout_fused_draws_preserve_output_moments():
+    """The fused one-launch eps/sign draw (nn._fused_flipout_draws) must be
+    exactly distribution-preserving vs per-layer draws: for a single flipout
+    layer the per-example output variance is analytic,
+    Var[out_bo] = sum_i x_bi^2 softplus(rho_io)^2 (signs square to 1, eps is
+    unit-variance, cross terms vanish).  Checks mean and variance against
+    the analytic law over 4000 keys."""
+    p = {"loc": jnp.asarray([[0.7, -0.2], [0.1, 0.4], [-0.5, 0.3]]),
+         "rho": jnp.asarray([[-1.0, 0.0], [0.5, -2.0], [0.0, 1.0]]),
+         "b": jnp.asarray([0.3, -0.1])}
+    x = jnp.asarray([[1.0, -2.0, 0.5], [0.0, 1.5, -1.0]])
+
+    def one(key):
+        e, ri, ro = nn._fused_flipout_draws(key, [p], x.shape[0])
+        return nn._flipout_dense_pre(p, x, e[0], ri[0], ro[0])
+
+    outs = jax.vmap(one)(jax.random.split(jax.random.PRNGKey(0), 4000))
+    mean_expected = x @ p["loc"] + p["b"]
+    scale = jax.nn.softplus(p["rho"])
+    var_expected = (x ** 2) @ (scale ** 2)
+    np.testing.assert_allclose(np.asarray(outs.mean(0)),
+                               np.asarray(mean_expected),
+                               atol=4 * float(jnp.sqrt(var_expected.max() / 4000)))
+    np.testing.assert_allclose(np.asarray(outs.var(0)),
+                               np.asarray(var_expected), rtol=0.15)
