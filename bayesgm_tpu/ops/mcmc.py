@@ -166,9 +166,10 @@ def adaptive_mh(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000,
         (default 1.01) — AND split-R̂ is at most this everywhere;
         ``min_keep`` (default ``2 * CHUNK``) — never judge on fewer draws;
         ``check_every`` (default ``CHUNK``) — diagnostic cadence in kept
-        steps.  Checks run host-side on the collected statistics at chunk
-        boundaries (the chain itself never leaves the device), so the cost
-        is one small transfer per check.  On stop, ``samples`` simply has
+        steps.  Checks run host-side on incrementally accumulated copies of
+        the collected statistics (each chunk is transferred once when it
+        lands; the chain state never leaves the device), so total transfer
+        is linear in the run length.  On stop, ``samples`` simply has
         fewer than ``n_keep`` rows — callers size off the returned array.
 
     Returns
@@ -309,6 +310,7 @@ def adaptive_mh(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000,
         es_min_keep = int(early_stop.get("min_keep", 2 * CHUNK))
         es_check_every = max(1, int(early_stop.get("check_every", CHUNK)))
     chunks = []
+    host_leaves = None  # incremental host-side copies (early_stop only)
     done = 0
     last_check = 0
     while done < n_keep:
@@ -317,15 +319,22 @@ def adaptive_mh(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000,
         carry, samples, rate = get_chunk("keep", n_steps)(carry, k_chunk, params)
         chunks.append(samples)
         done += n_steps
+        if early_stop is not None:
+            # Transfer ONLY the newest chunk to host (O(chunk) per chunk,
+            # linear over the run) and append per leaf; checks then run on
+            # the accumulated numpy buffers with no device transfer at all.
+            new_leaves = [np.asarray(l) for l in jax.tree.leaves(samples)]
+            if host_leaves is None:
+                host_leaves = [[l] for l in new_leaves]
+            else:
+                for buf, l in zip(host_leaves, new_leaves):
+                    buf.append(l)
         if (early_stop is not None and done < n_keep and done >= es_min_keep
                 and done - last_check >= es_check_every):
             last_check = done
-            so_far = (jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
-                                   *chunks)
-                      if len(chunks) > 1 else chunks[0])
             converged = True
-            for leaf in jax.tree.leaves(so_far):
-                arr = np.asarray(leaf)
+            for buf in host_leaves:
+                arr = np.concatenate(buf, axis=0) if len(buf) > 1 else buf[0]
                 ess = effective_sample_size(arr)
                 rhat = split_rhat(arr)
                 if (not np.all(np.isfinite(ess)) or np.min(ess) < es_min_ess
@@ -334,7 +343,6 @@ def adaptive_mh(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000,
                     converged = False
                     break
             if converged:
-                chunks = [so_far]
                 break
 
     if not chunks:  # n_keep=0: burn-in only (throughput benchmarking)

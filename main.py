@@ -9,6 +9,7 @@ Usage: python main.py -c configs/Sim_Hirano_Imbens.yaml [-e EPOCHS] [-b EGM_ITER
 """
 
 import argparse
+import inspect
 import os
 
 import numpy as np
@@ -99,6 +100,15 @@ def run_causal(params, epochs, egm_iters):
         raise ValueError(f"Unknown model '{engine}'; valid options: "
                          f"{sorted(engines)}")
     cls = engines[engine]
+    # Fail fast (before the expensive fit) if a predict override isn't a
+    # kwarg of the SELECTED engine's predict — e.g. FullMCMCCausalBGM.predict
+    # takes no ess_target (its chain pairing precludes the ESS gate).
+    accepted = set(inspect.signature(cls.predict).parameters)
+    unsupported = set(predict_overrides) - accepted
+    if unsupported:
+        raise ValueError(
+            f"predict override(s) {sorted(unsupported)} not supported by "
+            f"model '{engine}' ({cls.__name__}.predict)")
     model = cls(params=params, random_seed=None)
     model.fit(data=(x, y, v), epochs=epochs, epochs_per_eval=10, use_egm_init=True,
               egm_n_iter=egm_iters, egm_batches_per_eval=500, verbose=1)

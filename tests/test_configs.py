@@ -69,6 +69,21 @@ def test_predict_overrides_block():
         driver._predict_overrides({"predict": {"burnin": 1}})
 
 
+def test_run_causal_rejects_unsupported_predict_override(tmp_path):
+    """A predict override the SELECTED engine's predict() does not accept
+    (fullmcmc takes no ess_target) must fail fast — before model
+    construction and the expensive fit (advisor finding, round 4)."""
+    import main as driver
+
+    params = yaml.safe_load(open(os.path.join(
+        os.path.dirname(__file__), "..", "configs", "Sim_Hirano_Imbens.yaml")))
+    params["model"] = "fullmcmc"
+    params["predict"] = {"ess_target": 400}
+    params["output_dir"] = str(tmp_path)
+    with pytest.raises(ValueError, match="not supported by model 'fullmcmc'"):
+        driver.run_causal(params, epochs=0, egm_iters=0)
+
+
 def test_fast_config_merge_matches_shipped_recipe():
     """The shipped fast config carries exactly the measured recipe and the
     merge produces the kwargs main.py passes to predict()."""
