@@ -114,17 +114,29 @@ def main():
             burn_in=args.burn_in, x_values=grid, q_sd=1.0, bs=args.n)
         t_predict = time.time() - t0
         adrf = np.asarray(adrf, np.float64)
+        # adrf_pi: (n_grid, 2) posterior-interval bounds at the requested
+        # alpha (reference causalbgm/base.py predict returns
+        # np.percentile(..., [100*alpha/2, 100*(1-alpha/2)])).  Recorded so
+        # interval width + coverage of the true ADRF can be compared
+        # against our own predict's credible intervals (VERDICT r4 item 2).
+        adrf_pi = np.asarray(adrf_pi, np.float64).reshape(len(grid), 2)
+        covered = (adrf_pi[:, 0] <= true) & (true <= adrf_pi[:, 1])
         rec = dict(seed=seed, data_seed=args.data_seed, n=args.n,
                    v_dim=args.v_dim, epochs=args.epochs, egm=args.egm,
                    n_mcmc=args.n_mcmc, burn_in=args.burn_in,
                    rmse=float(np.sqrt(np.mean((adrf - true) ** 2))),
                    t_fit=round(t_fit, 1), t_predict=round(t_predict, 1),
                    adrf=[float(a) for a in adrf],
-                   grid=[float(g) for g in grid])
+                   grid=[float(g) for g in grid],
+                   pi_lower=[float(a) for a in adrf_pi[:, 0]],
+                   pi_upper=[float(a) for a in adrf_pi[:, 1]],
+                   mean_width=float(np.mean(adrf_pi[:, 1] - adrf_pi[:, 0])),
+                   coverage=float(np.mean(covered)))
         with open(args.out, "a") as f:
             f.write(json.dumps(rec) + "\n")
         print(json.dumps({k: rec[k] for k in
-                          ("seed", "rmse", "t_fit", "t_predict")}),
+                          ("seed", "rmse", "mean_width", "coverage",
+                           "t_fit", "t_predict")}),
               flush=True)
 
     print("done", flush=True)
