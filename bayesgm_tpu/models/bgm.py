@@ -415,8 +415,10 @@ class BGM:
                 remaining -= n_iters
             done += n_eval
             self.nets, self.g_state, self._opt_d, self._opt_ge = carry
-            losses = {k: float(v) for k, v in losses.items()}
             if verbose:
+                # float() blocks on chunk completion; convert only when
+                # printing so chunks pipeline (see CausalBGM.egm_init).
+                losses = {k: float(v) for k, v in losses.items()}
                 print(
                     "EGM Initialization Iter [%d] : g_loss_adv[%.4f], e_loss_adv [%.4f], "
                     "l2_loss_z [%.4f], l2_loss_x [%.4f], sd^2_loss[%.4f], g_e_loss [%.4f], "
@@ -424,7 +426,12 @@ class BGM:
                     % (done - 1, losses["g_loss_adv"], losses["e_loss_adv"], losses["l2_loss_z"],
                        losses["l2_loss_x"], losses["reg_loss"], losses["g_e_loss"],
                        losses["dz_loss"], losses["dx_loss"], losses["d_loss"]))
-            mse = float(self.evaluate(data, use_x_sd=True))
+            # Logging-only evaluate: skip the compute when nothing consumes
+            # it, but advance the chain keys unconditionally so streams stay
+            # bit-identical (see CausalBGM.egm_init).
+            k_eval = self._next_key(2)
+            if verbose or self.params["save_res"]:
+                mse = float(self.evaluate(data, use_x_sd=True, keys=k_eval))
             if verbose:
                 print("iter [%d/%d]: MSE_x: %.4f\n" % (done - 1, egm_n_iter, mse))
             if self.params["save_res"]:
@@ -543,14 +550,16 @@ class BGM:
 
     # -- Evaluation / generation ---------------------------------------------------
 
-    def evaluate(self, data, data_z=None, use_x_sd=True):
+    def evaluate(self, data, data_z=None, use_x_sd=True, keys=None):
         """Reconstruction MSE through encoder + generator (reference
-        bgm/base.py:444-476); eval-mode BatchNorm statistics."""
+        bgm/base.py:444-476); eval-mode BatchNorm statistics.  ``keys``
+        lets callers that already advanced the PRNG chain pass the two
+        drawn keys in (egm_init's logging slot)."""
         data = jnp.asarray(data, jnp.float32)
         cfg = self.cfg
         if data_z is None:
             data_z = nn.mlp_apply(self.nets["e"], data)
-        kg, kr = self._next_key(2)
+        kg, kr = self._next_key(2) if keys is None else keys
         mu, sigma_sq, _ = _g_apply(cfg, self.nets["g"], self.g_state, data_z, kg, train=False)
         x_pred = nn.reparameterize(kr, mu, sigma_sq) if use_x_sd else mu
         return jnp.mean((data - x_pred) ** 2)

@@ -709,8 +709,12 @@ class CausalBGM:
                                       batch_size=batch_size, n_iters=n_iters)
                 remaining -= n_iters
             done += n_eval
-            losses = {k: float(val) for k, val in losses.items()}
+            # float() blocks on chunk completion; converting only when
+            # printing lets JAX's async dispatch pipeline the chunks — under
+            # host-CPU contention the per-chunk sync alone cost seconds
+            # (benchmarks/egm_eval_cost.py).
             if verbose:
+                losses = {k: float(val) for k, val in losses.items()}
                 print(
                     "EGM Initialization Iter [%d] : e_loss_adv [%.4f], l2_loss_v [%.4f], "
                     "l2_loss_z [%.4f], l2_loss_x [%.4f], l2_loss_y [%.4f], g_e_loss [%.4f], "
@@ -719,9 +723,18 @@ class CausalBGM:
                        losses["l2_loss_x"], losses["l2_loss_y"], losses["g_e_loss"],
                        losses["dz_loss"], losses["d_loss"]))
             self.nets, self._opt_d, self._opt_ge = carry
-            # star-unpack: the identifiable subclass's evaluate returns extras
-            causal_pre, mse_x, mse_y, mse_v, *_ = self.evaluate(data)
+            # The per-interval evaluate() is pure logging — nothing feeds
+            # back into training — and its result is only consumed by
+            # save_res.  It costs ~1 s/interval on-chip (200-point ADRF grid
+            # x full-data BNN forwards; benchmarks/egm_eval_cost.py), which
+            # dominated the EGM phase, so skip the compute when unused.  The
+            # chain key is advanced UNCONDITIONALLY so runs with and without
+            # save_res see bit-identical PRNG streams (and the published
+            # campaign streams are preserved exactly).
+            k_eval = self._next_key()
             if self.params["save_res"]:
+                # star-unpack: the identifiable subclass's evaluate returns extras
+                causal_pre, mse_x, mse_y, mse_v, *_ = self.evaluate(data, key=k_eval)
                 save_data(f"{self.save_dir}/causal_pre_egm_init_iter-{done - 1}.txt",
                           np.asarray(causal_pre))
         print("EGM Initialization Ends.")
@@ -1040,14 +1053,16 @@ class CausalBGM:
 
     # -- Evaluation -----------------------------------------------------------
 
-    def evaluate(self, data, data_z=None, nb_intervals=200):
+    def evaluate(self, data, data_z=None, nb_intervals=200, key=None):
         """Reconstruction MSEs + in-sample ITE/ADRF (reference evaluate,
-        base.py:534-570)."""
+        base.py:534-570).  ``key`` lets callers that already advanced the
+        model's PRNG chain (egm_init's logging slot) pass the drawn key in."""
         data = tuple(jnp.asarray(d, jnp.float32) for d in data)
         eval_fn = self._jit_cache(
             ("evaluate", nb_intervals),
             lambda: jax.jit(partial(_evaluate, self.cfg, nb_intervals=nb_intervals)))
-        return eval_fn(self.nets, data, data_z, self._next_key())
+        return eval_fn(self.nets, data, data_z,
+                       self._next_key() if key is None else key)
 
     def _jit_cache(self, key, build):
         """Per-instance cache of jitted callables (a fresh jax.jit object per

@@ -302,13 +302,14 @@ class IdentifiableCausalBGM(cb.CausalBGM):
         (self.nets, self.opts, self.prior_net, self._prior_opt,
          self.data_z, z_opt) = carry
 
-    def evaluate(self, data, data_z=None, nb_intervals=200):
+    def evaluate(self, data, data_z=None, nb_intervals=200, key=None):
         """7-tuple: (causal_pre, mse_x, mse_y, mse_v, x_pred, y_pred, v_pred)."""
         data = tuple(jnp.asarray(d, jnp.float32) for d in data)
         eval_fn = self._jit_cache(
             ("ivae_evaluate", nb_intervals),
             lambda: jax.jit(partial(_ivae_evaluate, self.cfg, nb_intervals=nb_intervals)))
-        return eval_fn(self.nets, data, data_z, self._next_key())
+        return eval_fn(self.nets, data, data_z,
+                       self._next_key() if key is None else key)
 
     def get_log_posterior(self, data_x, data_y, data_v, data_z, data_u, key=None):
         """log p(z | x, y, v, u) with the conditional prior

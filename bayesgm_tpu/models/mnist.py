@@ -294,15 +294,22 @@ class MNISTBGM(BGM):
                 remaining -= n_iters
             done += n_eval
             self.nets, self._opt_d, self._opt_ge = carry
-            losses = {k: float(v) for k, v in losses.items()}
             if verbose:
+                # float() blocks on chunk completion; convert only when
+                # printing so chunks pipeline (see CausalBGM.egm_init).
+                losses = {k: float(v) for k, v in losses.items()}
                 print("EGM Initialization Iter [%d] : g_loss_adv[%.4f], e_loss_adv [%.4f], "
                       "l2_loss_z [%.4f], l2_loss_x [%.4f], sd^2_loss[%.4f], g_e_loss [%.4f], "
                       "dz_loss [%.4f], dx_loss[%.4f], d_loss [%.4f]"
                       % (done - 1, losses["g_loss_adv"], losses["e_loss_adv"], losses["l2_loss_z"],
                          losses["l2_loss_x"], losses["reg_loss"], losses["g_e_loss"],
                          losses["dz_loss"], losses["dx_loss"], losses["d_loss"]))
-            mse = float(self.evaluate(data))
+            # Logging-only evaluate: skip the compute when nothing consumes
+            # it, but advance the chain keys unconditionally so streams stay
+            # bit-identical (see CausalBGM.egm_init).
+            k_eval = self._next_key(2)
+            if verbose or self.params["save_res"]:
+                mse = float(self.evaluate(data, keys=k_eval))
             if verbose:
                 print("iter [%d/%d]: MSE_x: %.4f\n" % (done - 1, egm_n_iter, mse))
             if self.params["save_res"]:
@@ -406,12 +413,12 @@ class MNISTBGM(BGM):
 
     # -- Evaluation / generation -----------------------------------------------
 
-    def evaluate(self, data, data_z=None):
+    def evaluate(self, data, data_z=None, keys=None):
         """Pixel MSE through encoder + generator (mnist.py:398-423)."""
         data = jnp.asarray(data, jnp.float32)
         if data_z is None:
             data_z = cnn.mnist_encoder_apply(self.nets["e"], data)
-        kg, kr = self._next_key(2)
+        kg, kr = self._next_key(2) if keys is None else keys
         mu, var = _gen_apply(self.cfg, self.nets["g"], data_z, kg)
         probs = jax.nn.sigmoid(nn.reparameterize(kr, mu, var))
         return jnp.mean((data - probs) ** 2)

@@ -326,3 +326,30 @@ def test_deconf_penalty_loss_and_training(causal_data, tmp_path):
     adrf, ci = m1.predict((x, y, v), alpha=0.1, n_mcmc=10, burn_in=20,
                           x_values=[0.5, 1.5], q_sd=1.0)
     assert np.all(np.isfinite(adrf)) and np.all(ci[:, 0] <= ci[:, 1])
+
+
+def test_egm_eval_skip_is_stream_preserving(causal_data, tmp_path):
+    """egm_init's per-interval evaluate() is logging-only: with save_res off
+    the compute is skipped but the PRNG chain still advances one key per
+    interval, so the trained state AND all later draws are bit-identical to
+    a run that computes (and discards) the evals."""
+    x, y, v = causal_data
+
+    m_skip = CausalBGM(_causal_params(tmpdir=str(tmp_path / "a")),
+                       random_seed=7)
+    m_skip.egm_init((x, y, v), egm_n_iter=20, batch_size=16,
+                    egm_batches_per_eval=10, verbose=0)
+
+    m_save = CausalBGM(_causal_params(tmpdir=str(tmp_path / "b"),
+                                      save_res=True), random_seed=7)
+    m_save.egm_init((x, y, v), egm_n_iter=20, batch_size=16,
+                    egm_batches_per_eval=10, verbose=0)
+
+    for name in ("g", "e", "f", "h", "dz"):
+        a = jax.tree_util.tree_leaves(m_skip.nets[name])
+        b = jax.tree_util.tree_leaves(m_save.nets[name])
+        for la, lb in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    # chain keys advanced identically -> next draw identical
+    np.testing.assert_array_equal(np.asarray(m_skip._next_key()),
+                                  np.asarray(m_save._next_key()))
