@@ -1,42 +1,97 @@
-# Dataset loaders that call into the Python samplers (reference R/datasets.R).
+# Dataset loaders calling into the Python samplers through reticulate.
+# Kwarg surface, defaults, and return shapes match the reference
+# r-package/bayesgm/R/datasets.R:1-77; the marshalling is re-expressed on
+# this package's .bayesgm_module() helper.
 
 #' Load the Hirano-Imbens continuous-treatment simulation.
 #'
-#' @param n Sample size.
+#' @param N Sample size.
 #' @param v_dim Covariate dimension.
-#' @param seed Random seed.
-#' @param test_fraction Fraction held out as a test split.
-#' @return list(train = list(x, y, v), test = list(x, y, v))
+#' @param seed Random seed for the data draw.
+#' @param batch_size Batch size stored on the Python sampler.
+#' @return list(x, y, v) of R matrices (treatment, outcome, covariates).
 #' @export
-load_sim_hirano_imbens <- function(n = 20000L, v_dim = 200L, seed = 0L,
-                                   test_fraction = 0.2) {
+load_sim_hirano_imbens <- function(N = 1000L,
+                                   v_dim = 20L,
+                                   seed = 0L,
+                                   batch_size = 32L) {
   m <- .bayesgm_module()
-  ds <- m$Sim_Hirano_Imbens_sampler(N = as.integer(n), v_dim = as.integer(v_dim),
-                                    seed = as.integer(seed))
-  all <- ds$load_all()
-  x <- as.matrix(all[[1]]); y <- as.matrix(all[[2]]); v <- as.matrix(all[[3]])
-  n_test <- as.integer(round(nrow(x) * test_fraction))
-  idx_test <- seq_len(n_test)
+  sampler <- m$Sim_Hirano_Imbens_sampler(
+    batch_size = as.integer(batch_size),
+    N = as.integer(N),
+    v_dim = as.integer(v_dim),
+    seed = as.integer(seed)
+  )
+  triplet <- sampler$load_all()
   list(
-    train = list(x = x[-idx_test, , drop = FALSE], y = y[-idx_test, , drop = FALSE],
-                 v = v[-idx_test, , drop = FALSE]),
-    test = list(x = x[idx_test, , drop = FALSE], y = y[idx_test, , drop = FALSE],
-                v = v[idx_test, , drop = FALSE])
+    x = reticulate::py_to_r(triplet[[1]]),
+    y = reticulate::py_to_r(triplet[[2]]),
+    v = reticulate::py_to_r(triplet[[3]])
   )
 }
 
 #' Load the heteroskedastic latent-factor simulation for BGM.
 #'
-#' @param n Sample size.
-#' @param k Latent dimension.
-#' @param d Observed feature count.
-#' @param seed Random seed.
-#' @return Matrix (n, d + 1) with the response in column 1.
+#' Draws `simulate_z_hetero(n, k = z_dim, d = x_dim - 1)` and splits it with
+#' sklearn's `train_test_split`, exactly as the reference loader does: the
+#' response is appended as the LAST column of `data_train`, and the test
+#' block carries an NA response column for imputation.
+#'
+#' @param n Sample size before the split.
+#' @param z_dim Latent dimension of the simulator.
+#' @param x_dim Total observed columns INCLUDING the response
+#'   (so `x_dim - 1` simulated features); must be >= 2.
+#' @param seed Random seed for the simulator draw.
+#' @param test_size Fraction held out as the test split.
+#' @param split_seed `random_state` of the sklearn split.
+#' @return list(X_train, X_test, Y_train, Y_test, data_train, data_test).
 #' @export
-load_sim_heteroskedastic <- function(n = 20000L, k = 3L, d = 19L, seed = 42L) {
+load_sim_heteroskedastic <- function(n = 20000L,
+                                     z_dim = 10L,
+                                     x_dim = 100L,
+                                     seed = 42L,
+                                     test_size = 0.1,
+                                     split_seed = 123L) {
+  if (x_dim < 2L) {
+    stop("`x_dim` must be at least 2 so the last column can hold the response.",
+         call. = FALSE)
+  }
   m <- .bayesgm_module()
-  res <- m$simulate_z_hetero(n = as.integer(n), k = as.integer(k),
-                             d = as.integer(d), seed = as.integer(seed))
-  X <- as.matrix(res[[1]]); Y <- as.numeric(res[[2]])
-  cbind(Y, X)
+  model_selection <- tryCatch(
+    reticulate::import("sklearn.model_selection", delay_load = FALSE),
+    error = function(e) {
+      stop(paste(
+        "The Python module 'sklearn.model_selection' is required for",
+        "load_sim_heteroskedastic(). Install scikit-learn in the configured",
+        "Python environment."
+      ), call. = FALSE)
+    }
+  )
+
+  sim <- m$simulate_z_hetero(
+    n = as.integer(n),
+    k = as.integer(z_dim),
+    d = as.integer(x_dim - 1L),
+    seed = as.integer(seed)
+  )
+  split <- model_selection$train_test_split(
+    sim[[1]],
+    sim[[2]],
+    test_size = test_size,
+    random_state = as.integer(split_seed)
+  )
+
+  X_train <- as.matrix(reticulate::py_to_r(split[[1]]))
+  X_test <- as.matrix(reticulate::py_to_r(split[[2]]))
+  Y_train <- matrix(as.numeric(reticulate::py_to_r(split[[3]])), ncol = 1L)
+  Y_test <- matrix(as.numeric(reticulate::py_to_r(split[[4]])), ncol = 1L)
+
+  list(
+    X_train = X_train,
+    X_test = X_test,
+    Y_train = Y_train,
+    Y_test = Y_test,
+    data_train = cbind(X_train, Y_train),
+    data_test = cbind(X_test, matrix(NA_real_, nrow = nrow(X_test), ncol = 1L))
+  )
 }

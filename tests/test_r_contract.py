@@ -125,3 +125,40 @@ def test_bgm_reticulate_call_pattern(tmp_path):
     gen = m.generate(nb_samples=7)
     first = gen[0] if isinstance(gen, (tuple, list)) else gen
     assert np.asarray(first).shape == (7, 3)
+
+
+def test_datasets_loaders_reticulate_call_pattern():
+    """Replay r-package/bayesgm/R/datasets.R (reference R/datasets.R:1-77).
+
+    load_sim_hirano_imbens: Sim_Hirano_Imbens_sampler(batch_size=, N=,
+    v_dim=, seed=) with R-converted integer kwargs, then load_all() unpacked
+    positionally into (x, y, v).  load_sim_heteroskedastic: simulate_z_hetero
+    (n=, k=z_dim, d=x_dim-1, seed=) split by sklearn train_test_split
+    (test_size=, random_state=split_seed), response appended as the LAST
+    column of data_train and an NA column on data_test.
+    """
+    import bayesgm_tpu as b
+
+    sampler = b.Sim_Hirano_Imbens_sampler(batch_size=32, N=50, v_dim=6, seed=0)
+    triplet = sampler.load_all()
+    x, y, v = triplet[0], triplet[1], triplet[2]  # R: [[1]], [[2]], [[3]]
+    assert np.asarray(x).shape == (50, 1)
+    assert np.asarray(y).shape == (50, 1)
+    assert np.asarray(v).shape == (50, 6)
+
+    pytest.importorskip("sklearn")
+    from sklearn.model_selection import train_test_split
+
+    n, z_dim, x_dim = 40, 3, 5
+    sim = b.simulate_z_hetero(n=n, k=z_dim, d=x_dim - 1, seed=42)
+    X, Y = sim[0], sim[1]
+    split = train_test_split(X, Y, test_size=0.1, random_state=123)
+    X_train, X_test, Y_train, Y_test = split[0], split[1], split[2], split[3]
+    assert X_train.shape == (36, x_dim - 1) and X_test.shape == (4, x_dim - 1)
+    # R: cbind(X_train, Y_train) / cbind(X_test, NA column)
+    data_train = np.concatenate([X_train, np.reshape(Y_train, (-1, 1))], axis=1)
+    data_test = np.concatenate(
+        [X_test, np.full((len(X_test), 1), np.nan)], axis=1)
+    assert data_train.shape == (36, x_dim) and data_test.shape == (4, x_dim)
+    assert np.all(np.isnan(data_test[:, -1]))
+    assert np.all(np.isfinite(data_train))
