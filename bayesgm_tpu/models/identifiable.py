@@ -366,7 +366,8 @@ class IdentifiableCausalBGM(cb.CausalBGM):
     def predict(self, data, alpha=0.01, n_mcmc=3000, burn_in=5000, x_values=None,
                 q_sd=1.0, sample_y=True, bs=None, mesh=None, sampler="mh",
                 use_best_nets=False, use_swa_nets=False,
-                return_diagnostics=False, ess_target=None, ess_rhat=1.01):
+                return_diagnostics=False, return_draws=False,
+                ess_target=None, ess_rhat=1.01):
         """Same interface as :meth:`CausalBGM.predict` (incl.
         ``return_diagnostics`` and ``sampler="mala"`` — gradient-informed
         Langevin proposals through the conditional-prior target), with the
@@ -468,4 +469,5 @@ class IdentifiableCausalBGM(cb.CausalBGM):
 
         return self._aggregate_predict(run_batch, (data_x, data_y, data_v),
                                        alpha, n_mcmc, bs, x_values,
-                                       return_diagnostics)
+                                       return_diagnostics,
+                                       return_draws=return_draws)

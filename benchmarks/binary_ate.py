@@ -42,15 +42,29 @@ def make_data(n=10000, v_dim=100, data_seed=7):
 
 
 def main():
+    import os
+    if os.environ.get("BAYESGM_FORCE_CPU"):
+        # sitecustomize pins the axon TPU platform; CPU smokes must not
+        # grab the chip.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true", help="tiny smoke run")
     p.add_argument("--seed", type=int, default=123, help="model seed")
     p.add_argument("--data_seed", type=int, default=7)
     p.add_argument("--identifiable", action="store_true")
+    p.add_argument("--engine", choices=["base", "identifiable", "fullmcmc",
+                                        "ensemble"], default=None,
+                   help="model variant (overrides --identifiable)")
+    p.add_argument("--n_members", type=int, default=3,
+                   help="ensemble size when --engine ensemble")
     p.add_argument("--output_dir", type=str, default="/tmp/binary_ate")
     args = p.parse_args()
 
     from bayesgm_tpu.models.causalbgm import CausalBGM
+    from bayesgm_tpu.models.ensemble import EnsembleCausalBGM
+    from bayesgm_tpu.models.fullmcmc import FullMCMCCausalBGM
     from bayesgm_tpu.models.identifiable import IdentifiableCausalBGM
 
     n = 1000 if args.quick else 10000
@@ -60,7 +74,11 @@ def main():
         v_dim=v.shape[1], z_dims=[3, 6, 3, 6], binary_treatment=True,
         dataset="binary_ate", output_dir=args.output_dir,
         use_bnn=not args.quick, save_res=False, save_model=False)
-    cls = IdentifiableCausalBGM if args.identifiable else CausalBGM
+    engine = args.engine or ("identifiable" if args.identifiable else "base")
+    cls = {"base": CausalBGM, "identifiable": IdentifiableCausalBGM,
+           "fullmcmc": FullMCMCCausalBGM, "ensemble": EnsembleCausalBGM}[engine]
+    if engine == "ensemble":
+        params["n_members"] = args.n_members
     model = cls(params, random_seed=args.seed)
 
     epochs = 5 if args.quick else 100
@@ -70,6 +88,8 @@ def main():
               use_egm_init=True, egm_n_iter=egm, egm_batches_per_eval=egm,
               verbose=0)
     t_fit = time.time() - t0
+    if engine == "fullmcmc":
+        model.run_mcmc_training((x, y, v))
 
     t0 = time.time()
     n_mcmc, burn_in = (200, 300) if args.quick else (3000, 5000)
@@ -82,7 +102,7 @@ def main():
     pehe = float(np.sqrt(np.mean((ite - tau) ** 2)))
     coverage = float(np.mean((intervals[:, 0] <= tau) & (tau <= intervals[:, 1])))
     print(json.dumps(dict(
-        n=n, seed=args.seed, data_seed=args.data_seed,
+        n=n, engine=engine, seed=args.seed, data_seed=args.data_seed,
         ate_true=round(ate_true, 4), ate_est=round(float(ite.mean()), 4),
         d_ate=round(d_ate, 4), pehe=round(pehe, 4), ite_coverage=round(coverage, 3),
         fit_s=round(t_fit, 1), predict_s=round(t_pred, 1),

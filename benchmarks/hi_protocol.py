@@ -27,6 +27,7 @@ def run_seed(seed, args):
     from bayesgm_tpu.datasets import Sim_Hirano_Imbens_sampler
     from bayesgm_tpu.models.causalbgm import CausalBGM
     from bayesgm_tpu.models.ensemble import EnsembleCausalBGM
+    from bayesgm_tpu.models.fullmcmc import FullMCMCCausalBGM
     from bayesgm_tpu.models.identifiable import IdentifiableCausalBGM
     from bayesgm_tpu.utils import get_ADRF
 
@@ -54,6 +55,8 @@ def run_seed(seed, args):
         cls = EnsembleCausalBGM
     elif args.identifiable:
         cls = IdentifiableCausalBGM
+    elif args.fullmcmc:
+        cls = FullMCMCCausalBGM
     else:
         cls = CausalBGM
     model = cls(params, random_seed=seed)
@@ -64,6 +67,10 @@ def run_seed(seed, args):
               egm_n_iter=args.egm, egm_batches_per_eval=args.egm,
               verbose=0)
     t_fit = time.time() - t0
+    if args.fullmcmc:
+        # weight-space HMC over the fitted nets; predict() marginalises
+        # over these posterior weight draws (fullmcmc.py run_mcmc_training).
+        model.run_mcmc_training((x, y, v))
 
     grid = np.linspace(0, 3, 20)
     true = get_ADRF(x_values=grid, dataset="Imbens")
@@ -71,7 +78,8 @@ def run_seed(seed, args):
     out = dict(seed=seed, best_epoch=getattr(model, "best_epoch", None),
                fit_s=round(t_fit, 1))
     t0 = time.time()
-    kw = {} if (args.identifiable or args.ensemble) else dict(use_best_nets=False)
+    kw = ({} if (args.identifiable or args.ensemble or args.fullmcmc)
+          else dict(use_best_nets=False))
     adrf, iv = model.predict((x, y, v), alpha=0.01, n_mcmc=3000, burn_in=5000,
                              x_values=grid, q_sd=1.0, bs=20000, **kw)
     out["rmse"] = float(np.sqrt(np.mean((adrf - true) ** 2)))
@@ -80,11 +88,11 @@ def run_seed(seed, args):
     out["coverage"] = float(np.mean((true >= iv[:, 0]) & (true <= iv[:, 1])))
     out["predict_s"] = round(time.time() - t0, 1)
     adrf_final = adrf
-    if args.also_best and not (args.identifiable or args.ensemble):
+    if args.also_best and not (args.identifiable or args.ensemble or args.fullmcmc):
         adrf_b, _ = model.predict((x, y, v), alpha=0.01, n_mcmc=3000, burn_in=5000,
                                   x_values=grid, q_sd=1.0, bs=20000, use_best_nets=True)
         out["rmse_best_nets"] = float(np.sqrt(np.mean((adrf_b - true) ** 2)))
-    if args.also_swa and not (args.identifiable or args.ensemble):
+    if args.also_swa and not (args.identifiable or args.ensemble or args.fullmcmc):
         adrf_s, _ = model.predict((x, y, v), alpha=0.01, n_mcmc=3000, burn_in=5000,
                                   x_values=grid, q_sd=1.0, bs=20000, use_swa_nets=True)
         out["rmse_swa_nets"] = float(np.sqrt(np.mean((adrf_s - true) ** 2)))
@@ -112,6 +120,8 @@ def main():
     p.add_argument("--no_egm", action="store_true")
     p.add_argument("--no_bnn", action="store_true")
     p.add_argument("--identifiable", action="store_true")
+    p.add_argument("--fullmcmc", action="store_true",
+                   help="FullMCMCCausalBGM variant (weight-space HMC)")
     p.add_argument("--ensemble", type=int, default=0,
                    help="train a K-member EnsembleCausalBGM instead")
     p.add_argument("--also_best", action="store_true",
