@@ -637,6 +637,35 @@ class BGM:
             raise ValueError("ind_x1 must be rank 1 or 2 if tensor-like.")
         return jnp.asarray(arr), jnp.ones(arr.shape, jnp.float32)
 
+    def _prep_obs_dense_mask(self, data_np, ind_x1, width):
+        """(n, width) 0/1 observed mask from ragged/shared index lists.
+
+        The HMC chain target multiplies the FULL per-dimension NLL by this
+        mask instead of gathering observed columns: identical log-posterior
+        for duplicate-free index lists (missing entries contribute exactly
+        0), but gather-free forward and — critically — scatter-free
+        backward, which is what the per-leapfrog `jax.grad` differentiates
+        (benchmarks/hmc_mask_ab.py)."""
+        n = data_np.shape[0]
+        if ind_x1 is None:
+            return None
+        dense = np.zeros((n, width), np.float32)
+        if (isinstance(ind_x1, (list, tuple)) and len(ind_x1) > 0
+                and isinstance(ind_x1[0], (list, tuple, np.ndarray))):
+            assert len(ind_x1) == n, f"len(ind_x1)={len(ind_x1)} != n={n}"
+            for i, row in enumerate(ind_x1):
+                if len(row):
+                    dense[i, np.asarray(row, np.int64)] = 1.0
+        else:
+            arr = np.asarray(ind_x1, np.int64)
+            if arr.ndim == 1:
+                dense[:, arr] = 1.0
+            elif arr.ndim == 2:
+                dense[np.arange(n)[:, None], arr] = 1.0
+            else:
+                raise ValueError("ind_x1 must be rank 1 or 2 if tensor-like.")
+        return jnp.asarray(dense)
+
     def get_log_posterior(self, data_z, data_x, ind_x1=None, obs_mask=None, key=None):
         """log p(z | x_obs) up to a constant, with optional per-sample
         observed-index gather (reference bgm/base.py:665-705)."""
@@ -677,19 +706,23 @@ class BGM:
         (its captured values would go stale)."""
         data_np = np.asarray(data, np.float32)
         data_dev = jnp.asarray(data_np)
-        ind_mat, obs_mask = self._prep_obs_indices(data_np, ind_x1)
+        # Dense (n, x_dim) observed mask instead of gathered columns: same
+        # log-posterior, but the per-leapfrog backward pass is scatter-free
+        # (take_along_axis differentiates to a scatter, the dominant cost of
+        # the gather form — benchmarks/hmc_mask_ab.py).
+        dense_mask = self._prep_obs_dense_mask(data_np, ind_x1,
+                                               data_np.shape[1])
         cfg, nets, g_state = self.cfg, self.nets, self.g_state
         if mesh is not None:
             from bayesgm_tpu.parallel import replicate, shard_rows
 
             data_dev = shard_rows(data_dev, mesh)
-            if ind_mat is not None:
-                ind_mat = shard_rows(ind_mat, mesh)
-                obs_mask = shard_rows(obs_mask, mesh)
+            if dense_mask is not None:
+                dense_mask = shard_rows(dense_mask, mesh)
             nets = replicate(nets, mesh)
             g_state = replicate(g_state, mesh)
 
-        has_ind = ind_mat is not None
+        has_ind = dense_mask is not None
 
         def log_prob(params, z, key):
             mu, sigma_sq, _ = _g_apply(cfg, params["nets"]["g"], params["g_state"],
@@ -697,15 +730,13 @@ class BGM:
             if not has_ind:
                 loss_px = dist.gaussian_nll_diag(params["data"], mu, sigma_sq)
             else:
-                x_c = jnp.take_along_axis(params["data"], params["ind"], axis=1)
-                mu_c = jnp.take_along_axis(mu, params["ind"], axis=1)
-                s_c = jnp.take_along_axis(sigma_sq, params["ind"], axis=1)
-                ll = ((x_c - mu_c) ** 2 / (2.0 * s_c) + 0.5 * jnp.log(s_c)) * params["mask"]
+                ll = ((params["data"] - mu) ** 2 / (2.0 * sigma_sq)
+                      + 0.5 * jnp.log(sigma_sq)) * params["mask"]
                 loss_px = jnp.sum(ll, axis=1)
             return -(dist.standard_normal_neg_log_prior(z) + loss_px)
 
         params = {"nets": nets, "g_state": g_state, "data": data_dev,
-                  "ind": ind_mat, "mask": obs_mask}
+                  "mask": dense_mask}
         if collect_p is not None:
             col = collect_p
             jit_cache = self._jit_cache(("hmc_chain_jit", has_ind), dict)

@@ -477,18 +477,20 @@ class MNISTBGM(BGM):
         n = data_np.shape[0]
         flat_np = data_np.reshape(n, -1)
         data_dev = jnp.asarray(flat_np)
-        ind_mat, obs_mask = self._prep_obs_indices(flat_np, ind_x1)
+        # Dense pixel mask over the full 784-wide frame: scatter-free
+        # leapfrog backward (see BGM.tfp_mcmc_sampler / hmc_mask_ab.py).
+        dense_mask = self._prep_obs_dense_mask(flat_np, ind_x1,
+                                               flat_np.shape[1])
         cfg, nets = self.cfg, self.nets
         if mesh is not None:
             from bayesgm_tpu.parallel import replicate, shard_rows
 
             data_dev = shard_rows(data_dev, mesh)
-            if ind_mat is not None:
-                ind_mat = shard_rows(ind_mat, mesh)
-                obs_mask = shard_rows(obs_mask, mesh)
+            if dense_mask is not None:
+                dense_mask = shard_rows(dense_mask, mesh)
             nets = replicate(nets, mesh)
 
-        has_ind = ind_mat is not None
+        has_ind = dense_mask is not None
 
         def log_prob(params, z, key):
             k_g, k_rep = jax.random.split(key)
@@ -499,12 +501,12 @@ class MNISTBGM(BGM):
                 ll = jnp.sum(params["data"] * logits_flat
                              - jax.nn.softplus(logits_flat), axis=1)
             else:
-                x_c = jnp.take_along_axis(params["data"], params["ind"], axis=1)
-                l_c = jnp.take_along_axis(logits_flat, params["ind"], axis=1)
-                ll = jnp.sum((x_c * l_c - jax.nn.softplus(l_c)) * params["mask"], axis=1)
+                ll = jnp.sum((params["data"] * logits_flat
+                              - jax.nn.softplus(logits_flat))
+                             * params["mask"], axis=1)
             return -dist.standard_normal_neg_log_prior(z) + ll
 
-        params = {"nets": nets, "data": data_dev, "ind": ind_mat, "mask": obs_mask}
+        params = {"nets": nets, "data": data_dev, "mask": dense_mask}
         if collect_p is not None:
             col = collect_p
             jit_cache = self._jit_cache(("hmc_chain_jit", has_ind), dict)

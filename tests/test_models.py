@@ -353,3 +353,38 @@ def test_egm_eval_skip_is_stream_preserving(causal_data, tmp_path):
     # chain keys advanced identically -> next draw identical
     np.testing.assert_array_equal(np.asarray(m_skip._next_key()),
                                   np.asarray(m_save._next_key()))
+
+
+def test_bgm_dense_mask_matches_gather_logp():
+    """The HMC chain's dense-mask target equals the gather-form
+    get_log_posterior for ragged observed patterns (scatter-free backward,
+    benchmarks/hmc_mask_ab.py; reference bgm/base.py:665-705 semantics)."""
+    from bayesgm_tpu.models.bgm import BGM, _g_apply
+    from bayesgm_tpu.ops import distributions as dist
+
+    rng = np.random.RandomState(0)
+    m = BGM(dict(x_dim=6, z_dim=3, dataset="dm", output_dir="/tmp/dm",
+                 save_res=False, save_model=False), random_seed=0)
+    n = 5
+    data = rng.randn(n, 6).astype(np.float32)
+    ind = [[0, 2, 5], [1], [0, 1, 2, 3, 4, 5], [3, 4], [2, 5]]
+    z = jnp.asarray(rng.randn(n, 3), jnp.float32)
+    key = jax.random.PRNGKey(7)
+
+    ind_mat, obs_mask = m._prep_obs_indices(data, ind)
+    ref = m.get_log_posterior(z, data, ind_x1=ind_mat, obs_mask=obs_mask,
+                              key=key)
+
+    dense = m._prep_obs_dense_mask(data, ind, width=6)
+    mu, s, _ = _g_apply(m.cfg, m.nets["g"], m.g_state, z, key, train=False)
+    ll = ((jnp.asarray(data) - mu) ** 2 / (2.0 * s)
+          + 0.5 * jnp.log(s)) * dense
+    ours = -(dist.standard_normal_neg_log_prior(z) + jnp.sum(ll, axis=1))
+
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(ours), rtol=1e-5,
+                               atol=1e-5)
+    # mask placement matches the index lists exactly
+    expect = np.zeros((n, 6), np.float32)
+    for i, row in enumerate(ind):
+        expect[i, row] = 1.0
+    np.testing.assert_array_equal(np.asarray(dense), expect)
