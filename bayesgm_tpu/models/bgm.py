@@ -637,6 +637,23 @@ class BGM:
             raise ValueError("ind_x1 must be rank 1 or 2 if tensor-like.")
         return jnp.asarray(arr), jnp.ones(arr.shape, jnp.float32)
 
+    def _resolve_impute_bs(self, bs, n, n_mcmc, flat_dim,
+                           budget_bytes=2 * 2**30):
+        """Resolve the predict subject-batch size.
+
+        Imputation chains are independent per subject, so batching is exact
+        — and after the dense-mask rewrite the chain step is near-flat in
+        rows (benchmarks/hmc_mask_ab.py), so FEWER, larger launches are
+        strictly faster.  ``bs=None`` (default) auto-sizes to all subjects,
+        bounded by a ~2 GiB device budget for the kept sample cube
+        ``(n_mcmc, bs, flat_dim)`` f32.  An explicit ``bs`` (the reference
+        contract uses 100, bgm/base.py:630) is honored as-is.
+        """
+        if bs is not None:
+            return max(1, int(bs))
+        by_budget = max(1, int(budget_bytes // max(1, n_mcmc * flat_dim * 4)))
+        return max(1, min(n, by_budget))
+
     def _prep_obs_dense_mask(self, data_np, ind_x1, width):
         """(n, width) 0/1 observed mask from ragged/shared index lists.
 
@@ -758,7 +775,7 @@ class BGM:
         print(f"TPU HMC Acceptance Rate: {float(res.accept_rate):.4f}")
         return res.samples
 
-    def predict(self, data, alpha=0.05, return_samples=False, bs=100, n_mcmc=5000,
+    def predict(self, data, alpha=0.05, return_samples=False, bs=None, n_mcmc=5000,
                 burn_in=5000, step_size=0.01, num_leapfrog_steps=10, seed=42,
                 mesh=None, return_diagnostics=False):
         """Posterior prediction with NaN-encoded missing data (reference
@@ -767,10 +784,12 @@ class BGM:
         Returns imputed data + per-missing-dim intervals, or the full
         posterior-predictive cube when ``return_samples=True``.  The decode
         is fused into the HMC scan: each kept step directly emits a
-        reparameterized x draw.  Subjects are processed in batches of ``bs``
-        (reference contract bgm/base.py:630): per-sample posterior
-        statistics are exact under batching since every chain is independent;
-        batching bounds the host-side (n_mcmc, bs, x_dim) sample cube.
+        reparameterized x draw.  Per-sample posterior statistics are exact
+        under subject batching (independent chains); ``bs=None`` auto-sizes
+        to all subjects under a device sample-cube budget — the dense-mask
+        chain step is near-flat in rows, so one large launch is fastest
+        (``_resolve_impute_bs``; the reference contract's fixed ``bs=100``,
+        bgm/base.py:630, is available explicitly).
 
         ``return_diagnostics=True`` appends a dict with effective sample
         size and split-R̂ of the posterior-predictive draw series at every
@@ -780,7 +799,7 @@ class BGM:
         assert 0 < alpha < 1, "The significance level 'alpha' must be greater than 0 and less than 1."
         data_np = np.asarray(data, np.float32)
         n = data_np.shape[0]
-        bs = max(1, int(bs))
+        bs = self._resolve_impute_bs(bs, n, n_mcmc, data_np.shape[1])
         is_nan = np.isnan(data_np)
         data_clean = np.nan_to_num(data_np, nan=0.0)
 

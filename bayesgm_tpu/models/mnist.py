@@ -528,20 +528,22 @@ class MNISTBGM(BGM):
         print(f"TPU HMC Acceptance Rate: {float(res.accept_rate):.4f}")
         return res.samples
 
-    def predict(self, data, alpha=0.05, return_samples=False, bs=100, n_mcmc=5000,
+    def predict(self, data, alpha=0.05, return_samples=False, bs=None, n_mcmc=5000,
                 burn_in=5000, step_size=0.01, num_leapfrog_steps=10, seed=42,
                 mesh=None, return_diagnostics=False):
         """Pixel-level inpainting with NaN-encoded missing pixels
-        (mnist.py:467-613).  Subjects run in batches of ``bs`` — each image's
-        chain is independent, so batching is exact for per-pixel statistics
-        and bounds the host-side (n_mcmc, bs, 784) sample cube.
+        (mnist.py:467-613).  Each image's chain is independent, so subject
+        batching is exact for per-pixel statistics; ``bs=None`` auto-sizes
+        under a device budget for the (n_mcmc, bs, 784) sample cube
+        (``BGM._resolve_impute_bs``; the reference's fixed ``bs=100`` is
+        available explicitly).
 
         ``return_diagnostics=True`` appends a dict of ESS / split-R̂ arrays
         (image-shaped, NaN at observed pixels)."""
         assert 0 < alpha < 1, "The significance level 'alpha' must be greater than 0 and less than 1."
         data_np = np.asarray(data, np.float32)
         n = data_np.shape[0]
-        bs = max(1, int(bs))
+        bs = self._resolve_impute_bs(bs, n, n_mcmc, int(data_np[0].size))
         is_nan = np.isnan(data_np)
         data_clean = np.nan_to_num(data_np, nan=0.0)
         flat_obs = (~is_nan).reshape(n, -1)

@@ -309,3 +309,19 @@ def test_bnn_continuous_predict_warns_on_small_bs(tmp_path):
         _w.simplefilter("error", UserWarning)
         adrf, ci = m.predict((x, y, v), **kw)
     assert adrf.shape == (1,) and np.all(np.isfinite(adrf))
+
+
+def test_bgm_resolve_impute_bs():
+    """bs=None auto-sizes to all subjects under the device cube budget;
+    explicit bs honored (reference contract bs=100, bgm/base.py:630)."""
+    from bayesgm_tpu.models.bgm import BGM
+
+    m = BGM(dict(x_dim=20, z_dim=4, dataset="rb", output_dir="/tmp/rb",
+                 save_res=False, save_model=False), random_seed=0)
+    # small cube: everything fits -> all subjects in one launch
+    assert m._resolve_impute_bs(None, 2000, 5000, 20) == 2000
+    # budget-bound: (n_mcmc * flat_dim * 4) per row caps the batch
+    assert m._resolve_impute_bs(None, 10**6, 5000, 784,
+                                budget_bytes=2 * 2**30) == \
+        (2 * 2**30) // (5000 * 784 * 4)
+    assert m._resolve_impute_bs(100, 2000, 5000, 20) == 100
