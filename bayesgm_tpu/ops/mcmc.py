@@ -166,11 +166,20 @@ def adaptive_mh(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000,
         (default 1.01) — AND split-R̂ is at most this everywhere;
         ``min_keep`` (default ``2 * CHUNK``) — never judge on fewer draws;
         ``check_every`` (default ``CHUNK``) — diagnostic cadence in kept
-        steps.  Checks run host-side on incrementally accumulated copies of
-        the collected statistics (each chunk is transferred once when it
-        lands; the chain state never leaves the device), so total transfer
-        is linear in the run length.  On stop, ``samples`` simply has
-        fewer than ``n_keep`` rows — callers size off the returned array.
+        steps; ``gate_cols`` (default 2048) — for WIDE collected leaves
+        (e.g. per-subject ITE series shaped (steps, n)), the gate judges a
+        fixed random subsample of at most this many columns instead of all
+        of them.  The FFT-based ESS over every subject series was measured
+        to cost more wall-clock than the steps it saved at n=10000
+        (RESULTS.md round 5); the subsampled minimum is a stopping
+        HEURISTIC (the true min over all subjects can be lower), while the
+        returned statistics stay exact for whatever draws were kept.
+        Checks run host-side on incrementally accumulated copies of the
+        gate columns (each chunk is sliced on device and transferred once
+        when it lands; the chain state never leaves the device), so total
+        transfer is linear in the run length and bounded by ``gate_cols``
+        per step.  On stop, ``samples`` simply has fewer than ``n_keep``
+        rows — callers size off the returned array.
 
     Returns
     -------
@@ -309,6 +318,23 @@ def adaptive_mh(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000,
         es_max_rhat = float(early_stop.get("max_rhat", 1.01))
         es_min_keep = int(early_stop.get("min_keep", 2 * CHUNK))
         es_check_every = max(1, int(early_stop.get("check_every", CHUNK)))
+        es_gate_cols = int(early_stop.get("gate_cols", 2048))
+        gate_cols_idx = None  # per-leaf column subsample, fixed on first chunk
+
+    def _gate_slice(leaves):
+        # Judge wide leaves on a fixed column subsample (seeded, chosen
+        # once): the full-width FFT ESS costs more than the steps it saves.
+        nonlocal gate_cols_idx
+        if gate_cols_idx is None:
+            rng = np.random.RandomState(0)
+            gate_cols_idx = [
+                (jnp.asarray(np.sort(rng.choice(l.shape[1], es_gate_cols,
+                                                replace=False)))
+                 if l.ndim >= 2 and l.shape[1] > es_gate_cols else None)
+                for l in leaves]
+        return [l if idx is None else jnp.take(l, idx, axis=1)
+                for l, idx in zip(leaves, gate_cols_idx)]
+
     chunks = []
     host_leaves = None  # incremental host-side copies (early_stop only)
     done = 0
@@ -320,10 +346,12 @@ def adaptive_mh(log_prob_fn: Callable, init_state, key, *, burn_in: int = 5000,
         chunks.append(samples)
         done += n_steps
         if early_stop is not None:
-            # Transfer ONLY the newest chunk to host (O(chunk) per chunk,
-            # linear over the run) and append per leaf; checks then run on
-            # the accumulated numpy buffers with no device transfer at all.
-            new_leaves = [np.asarray(l) for l in jax.tree.leaves(samples)]
+            # Slice the gate columns ON DEVICE, then transfer only the
+            # newest chunk's slice (O(chunk x gate_cols) per chunk, linear
+            # over the run); checks run on the accumulated numpy buffers
+            # with no further device transfer.
+            new_leaves = [np.asarray(l)
+                          for l in _gate_slice(jax.tree.leaves(samples))]
             if host_leaves is None:
                 host_leaves = [[l] for l in new_leaves]
             else:

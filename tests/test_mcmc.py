@@ -325,3 +325,20 @@ def test_effective_sample_size_chunk_boundary():
     # same values whether a column lands in chunk 1 or 2
     ref = mcmc.effective_sample_size(x[:, 8190:8194])
     np.testing.assert_allclose(ess[8190:8194], ref, rtol=1e-10)
+
+
+def test_adaptive_mh_early_stop_gate_column_subsample():
+    """Wide per-subject collects are judged on a fixed gate_cols subsample
+    (RESULTS.md round 5: full-width FFT ESS cost more than it saved); the
+    returned draw matrix keeps FULL width and the gate still fires."""
+    n = 64
+    init = jnp.zeros((n, 2))
+    res = mcmc.adaptive_mh(
+        _std_normal_logp, init, jax.random.PRNGKey(6), burn_in=300,
+        n_keep=3000, q_sd=1.0, adaptive=True,
+        collect=lambda s, k: jnp.sum(s, axis=1),  # (n,) per-subject series
+        early_stop=dict(min_ess=50.0, max_rhat=1.2, min_keep=500,
+                        check_every=500, gate_cols=8))
+    arr = np.asarray(res.samples)
+    assert arr.shape[1] == n          # full width returned
+    assert arr.shape[0] < 3000        # gate fired on the subsample
