@@ -55,7 +55,7 @@ def main():
                             np.zeros((bs, 1), np.float32)], axis=1))
 
         def lp_gather(params, z, key):
-            mu, s, _ = _g_apply(cfg, params["nets"], params["gs"], z,
+            mu, s, _ = _g_apply(cfg, params["nets"]["g"], params["gs"], z,
                                 key, train=False)
             x_c = jnp.take_along_axis(params["data"], params["ind"], axis=1)
             mu_c = jnp.take_along_axis(mu, params["ind"], axis=1)
@@ -66,7 +66,7 @@ def main():
                      + jnp.sum(ll, axis=1))
 
         def lp_dense(params, z, key):
-            mu, s, _ = _g_apply(cfg, params["nets"], params["gs"], z,
+            mu, s, _ = _g_apply(cfg, params["nets"]["g"], params["gs"], z,
                                 key, train=False)
             ll = ((params["data"] - mu) ** 2 / (2.0 * s)
                   + 0.5 * jnp.log(s)) * params["dense"]
@@ -116,7 +116,7 @@ def main():
 
         def mlp_gather(params, z, key):
             k_g, k_rep = jax.random.split(key)
-            mu, var = _gen_apply(mcfg, params["nets"], z, k_g)
+            mu, var = _gen_apply(mcfg, params["nets"]["g"], z, k_g)
             logits = jnp.clip(nn.reparameterize(k_rep, mu, var), -10.0, 10.0)
             lf = logits.reshape(z.shape[0], -1)
             x_c = jnp.take_along_axis(params["data"], params["ind"], axis=1)
@@ -127,7 +127,7 @@ def main():
 
         def mlp_dense(params, z, key):
             k_g, k_rep = jax.random.split(key)
-            mu, var = _gen_apply(mcfg, params["nets"], z, k_g)
+            mu, var = _gen_apply(mcfg, params["nets"]["g"], z, k_g)
             logits = jnp.clip(nn.reparameterize(k_rep, mu, var), -10.0, 10.0)
             lf = logits.reshape(z.shape[0], -1)
             ll = jnp.sum((params["data"] * lf - jax.nn.softplus(lf))
