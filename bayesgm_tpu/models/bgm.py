@@ -430,9 +430,8 @@ class BGM:
             # it, but advance the chain keys unconditionally so streams stay
             # bit-identical (see CausalBGM.egm_init).
             k_eval = self._next_key(2)
-            if verbose or self.params["save_res"]:
-                mse = float(self.evaluate(data, use_x_sd=True, keys=k_eval))
             if verbose:
+                mse = float(self.evaluate(data, use_x_sd=True, keys=k_eval))
                 print("iter [%d/%d]: MSE_x: %.4f\n" % (done - 1, egm_n_iter, mse))
             if self.params["save_res"]:
                 gen1, var1 = self.generate(nb_samples=5000)

@@ -42,13 +42,9 @@ def make_data(n=10000, v_dim=100, data_seed=7):
 
 
 def main():
-    import os
-    if os.environ.get("BAYESGM_FORCE_CPU"):
-        # sitecustomize pins the axon TPU platform; CPU smokes must not
-        # grab the chip.
-        import jax
+    from bayesgm_tpu.utils.runtime import force_cpu_if_requested
 
-        jax.config.update("jax_platforms", "cpu")
+    force_cpu_if_requested()
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true", help="tiny smoke run")
     p.add_argument("--seed", type=int, default=123, help="model seed")

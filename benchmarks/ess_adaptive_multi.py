@@ -133,12 +133,9 @@ def run_sun(seed, args):
 
 
 def main():
-    if os.environ.get("BAYESGM_FORCE_CPU"):
-        # The image's sitecustomize pins the axon TPU platform and ignores
-        # JAX_PLATFORMS; --quick wiring smokes must not grab the chip.
-        import jax
+    from bayesgm_tpu.utils.runtime import force_cpu_if_requested
 
-        jax.config.update("jax_platforms", "cpu")
+    force_cpu_if_requested()
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", choices=["binary", "sun"], required=True)
     p.add_argument("--seeds", type=int, nargs="+", default=[123, 456, 789])

@@ -82,6 +82,23 @@ def _predict_overrides(params):
     return overrides
 
 
+def _check_overrides_against_engine(cls, engine, predict_overrides):
+    """Fail fast (before the expensive fit) if a predict override isn't a
+    kwarg of the SELECTED engine's predict — e.g. FullMCMCCausalBGM.predict
+    takes no ess_target (its chain pairing precludes the ESS gate).  A
+    predict with ``**kwargs`` (EnsembleCausalBGM forwards to its member
+    CausalBGMs) accepts anything, so the check is skipped there."""
+    sig = inspect.signature(cls.predict)
+    if any(p.kind is inspect.Parameter.VAR_KEYWORD
+           for p in sig.parameters.values()):
+        return
+    unsupported = set(predict_overrides) - set(sig.parameters)
+    if unsupported:
+        raise ValueError(
+            f"predict override(s) {sorted(unsupported)} not supported by "
+            f"model '{engine}' ({cls.__name__}.predict)")
+
+
 def run_causal(params, epochs, egm_iters):
     """The optional ``model:`` config key picks the engine:
     ``causalbgm`` (default) | ``identifiable`` | ``fullmcmc`` | ``ensemble``."""
@@ -100,15 +117,7 @@ def run_causal(params, epochs, egm_iters):
         raise ValueError(f"Unknown model '{engine}'; valid options: "
                          f"{sorted(engines)}")
     cls = engines[engine]
-    # Fail fast (before the expensive fit) if a predict override isn't a
-    # kwarg of the SELECTED engine's predict — e.g. FullMCMCCausalBGM.predict
-    # takes no ess_target (its chain pairing precludes the ESS gate).
-    accepted = set(inspect.signature(cls.predict).parameters)
-    unsupported = set(predict_overrides) - accepted
-    if unsupported:
-        raise ValueError(
-            f"predict override(s) {sorted(unsupported)} not supported by "
-            f"model '{engine}' ({cls.__name__}.predict)")
+    _check_overrides_against_engine(cls, engine, predict_overrides)
     model = cls(params=params, random_seed=None)
     model.fit(data=(x, y, v), epochs=epochs, epochs_per_eval=10, use_egm_init=True,
               egm_n_iter=egm_iters, egm_batches_per_eval=500, verbose=1)

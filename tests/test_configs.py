@@ -84,6 +84,22 @@ def test_run_causal_rejects_unsupported_predict_override(tmp_path):
         driver.run_causal(params, epochs=0, egm_iters=0)
 
 
+def test_override_check_accepts_kwargs_forwarding_engine():
+    """EnsembleCausalBGM.predict forwards **kwargs to its member
+    CausalBGMs (which do take ess_target), so the fail-fast check must NOT
+    reject the fast-predict overrides for 'model: ensemble' — while still
+    rejecting them for fullmcmc, whose predict takes no **kwargs."""
+    import main as driver
+    from bayesgm_tpu.models.ensemble import EnsembleCausalBGM
+    from bayesgm_tpu.models.fullmcmc import FullMCMCCausalBGM
+
+    driver._check_overrides_against_engine(
+        EnsembleCausalBGM, "ensemble", {"ess_target": 400, "burn_in": 1000})
+    with pytest.raises(ValueError, match="not supported by model 'fullmcmc'"):
+        driver._check_overrides_against_engine(
+            FullMCMCCausalBGM, "fullmcmc", {"ess_target": 400})
+
+
 def test_fast_config_merge_matches_shipped_recipe():
     """The shipped fast config carries exactly the measured recipe and the
     merge produces the kwargs main.py passes to predict()."""
