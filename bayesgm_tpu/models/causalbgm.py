@@ -847,7 +847,7 @@ class CausalBGM:
 
     def fit(self, data, epochs=100, epochs_per_eval=5, batch_size=32, startoff=0,
             use_egm_init=True, egm_n_iter=30000, egm_batches_per_eval=500,
-            save_format="txt", verbose=1, mesh=None):
+            save_format="txt", verbose=1, mesh=None, egm_batch_size=None):
         """Train with optional EGM warm-start then iterative Gibbs-style
         updating (reference fit, base.py:434-532).
 
@@ -878,8 +878,15 @@ class CausalBGM:
         else:
             start_epoch, best_loss = 0, np.inf
             if use_egm_init:
-                self.egm_init(data, egm_n_iter=egm_n_iter, batch_size=batch_size,
-                              egm_batches_per_eval=egm_batches_per_eval, verbose=verbose)
+                # egm_batch_size decouples the warm-start batch from the
+                # iterative phase's (reference-exact bs=32): the EGM scan is
+                # latency-bound in its serial update dependency, so a larger
+                # batch sees the same data in proportionally fewer serial
+                # steps at near-flat per-step cost (RESULTS.md round 5).
+                self.egm_init(data, egm_n_iter=egm_n_iter,
+                              batch_size=egm_batch_size or batch_size,
+                              egm_batches_per_eval=egm_batches_per_eval,
+                              verbose=verbose)
                 print("Initialize latent variables Z with e(V)...")
                 z_init = _apply(cfg, self.nets["e"], data_v, self._next_key())
             else:

@@ -191,7 +191,7 @@ class IdentifiableCausalBGM(cb.CausalBGM):
 
     def fit(self, data, batch_size=32, epochs=100, epochs_per_eval=5, startoff=0,
             use_egm_init=True, egm_n_iter=30000, egm_batches_per_eval=500,
-            verbose=1, save_format="txt", mesh=None):
+            verbose=1, save_format="txt", mesh=None, egm_batch_size=None):
         """Train with auxiliary U and the conditional prior
         (identifiable.py:232-348).  Skips the incomplete last batch, as the
         reference does.  ``mesh`` row-shards data/U/latent state (see
@@ -215,8 +215,10 @@ class IdentifiableCausalBGM(cb.CausalBGM):
             data_u = self._sample_u(n)
             self.data_u = data_u
             if use_egm_init:
-                self.egm_init(data, egm_n_iter=egm_n_iter, batch_size=batch_size,
-                              egm_batches_per_eval=egm_batches_per_eval, verbose=verbose)
+                self.egm_init(data, egm_n_iter=egm_n_iter,
+                              batch_size=egm_batch_size or batch_size,
+                              egm_batches_per_eval=egm_batches_per_eval,
+                              verbose=verbose)
                 print("Initialize latent variables Z with e(V)...")
                 z_init = cb._apply(cfg, self.nets["e"], data_v, self._next_key())
             else:

@@ -62,10 +62,11 @@ def run_seed(seed, args):
     model = cls(params, random_seed=seed)
 
     t0 = time.time()
+    fit_kw = {"egm_batch_size": args.egm_bs} if args.egm_bs else {}
     model.fit((x, y, v), epochs=args.epochs, epochs_per_eval=10,
               batch_size=32, use_egm_init=not args.no_egm,
               egm_n_iter=args.egm, egm_batches_per_eval=args.egm,
-              verbose=0)
+              verbose=0, **fit_kw)
     t_fit = time.time() - t0
     if args.fullmcmc:
         # weight-space HMC over the fitted nets; predict() marginalises
@@ -117,6 +118,10 @@ def main():
     p.add_argument("--data_seed", type=int, default=0)
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--egm", type=int, default=30000)
+    p.add_argument("--egm_bs", type=int, default=0,
+                   help="EGM warm-start batch size (0 = the iterative "
+                        "phase's 32); probe larger batches with "
+                        "proportionally fewer --egm iterations")
     p.add_argument("--no_egm", action="store_true")
     p.add_argument("--no_bnn", action="store_true")
     p.add_argument("--identifiable", action="store_true")

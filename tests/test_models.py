@@ -328,6 +328,38 @@ def test_deconf_penalty_loss_and_training(causal_data, tmp_path):
     assert np.all(np.isfinite(adrf)) and np.all(ci[:, 0] <= ci[:, 1])
 
 
+def test_egm_batch_size_decouples_warm_start(causal_data, tmp_path):
+    """fit(egm_batch_size=) sizes only the EGM warm-start batch; omitted it
+    defaults to batch_size (bit-identical path), and a different value
+    changes the warm start while the iterative phase keeps batch_size."""
+    x, y, v = causal_data
+
+    m_dflt = CausalBGM(_causal_params(tmpdir=str(tmp_path / "a")),
+                       random_seed=11)
+    m_dflt.fit((x, y, v), epochs=1, epochs_per_eval=1, batch_size=16,
+               use_egm_init=True, egm_n_iter=10, egm_batches_per_eval=10,
+               verbose=0)
+    m_same = CausalBGM(_causal_params(tmpdir=str(tmp_path / "b")),
+                       random_seed=11)
+    m_same.fit((x, y, v), epochs=1, epochs_per_eval=1, batch_size=16,
+               use_egm_init=True, egm_n_iter=10, egm_batches_per_eval=10,
+               verbose=0, egm_batch_size=16)
+    for la, lb in zip(jax.tree_util.tree_leaves(m_dflt.nets["g"]),
+                      jax.tree_util.tree_leaves(m_same.nets["g"])):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+    m_big = CausalBGM(_causal_params(tmpdir=str(tmp_path / "c")),
+                      random_seed=11)
+    m_big.fit((x, y, v), epochs=1, epochs_per_eval=1, batch_size=16,
+              use_egm_init=True, egm_n_iter=10, egm_batches_per_eval=10,
+              verbose=0, egm_batch_size=32)
+    diff = any(
+        not np.array_equal(np.asarray(la), np.asarray(lb))
+        for la, lb in zip(jax.tree_util.tree_leaves(m_dflt.nets["g"]),
+                          jax.tree_util.tree_leaves(m_big.nets["g"])))
+    assert diff, "egm_batch_size=32 should change the warm-start draws"
+
+
 def test_egm_eval_skip_is_stream_preserving(causal_data, tmp_path):
     """egm_init's per-interval evaluate() is logging-only: with save_res off
     the compute is skipped but the PRNG chain still advances one key per
