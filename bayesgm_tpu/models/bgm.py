@@ -445,14 +445,18 @@ class BGM:
     # -- Fit ---------------------------------------------------------------------
 
     def fit(self, data, batch_size=32, epochs=100, epochs_per_eval=5, use_egm_init=True,
-            egm_n_iter=20000, egm_batches_per_eval=500, verbose=1, mesh=None):
+            egm_n_iter=20000, egm_batches_per_eval=500, verbose=1, mesh=None,
+            egm_batch_size=None):
         """Train the BGM (reference fit, bgm/base.py:343-442): optional EGM
         warm-start, then per-epoch jitted scans alternating generator and
         latent updates (incomplete last batch skipped, as in the reference).
 
         ``mesh`` row-shards the dataset, latent table, and latent Adam
         moments over a 1-D device mesh with parameters replicated (see
-        CausalBGM.fit).
+        CausalBGM.fit).  ``egm_batch_size`` sizes only the EGM warm-start
+        batch (default: ``batch_size``); per-iteration cost is flat in
+        batch size on TPU, so equal-sample-visit schedules with fewer
+        serial steps run proportionally faster (RESULTS.md round 5).
         """
         data = jnp.asarray(data, jnp.float32)
         n = data.shape[0]
@@ -468,7 +472,8 @@ class BGM:
         else:
             start_epoch = 0
             if use_egm_init:
-                self.egm_init(data, egm_n_iter=egm_n_iter, batch_size=batch_size,
+                self.egm_init(data, egm_n_iter=egm_n_iter,
+                              batch_size=egm_batch_size or batch_size,
                               egm_batches_per_eval=egm_batches_per_eval, verbose=verbose)
                 print("Initialize latent variables Z with e(V)...")
                 z_init = nn.mlp_apply(self.nets["e"], data)

@@ -320,9 +320,12 @@ class MNISTBGM(BGM):
     # -- Fit -------------------------------------------------------------------
 
     def fit(self, data, batch_size=32, epochs=100, epochs_per_eval=5, use_egm_init=True,
-            egm_n_iter=10000, egm_batches_per_eval=500, verbose=1, mesh=None):
+            egm_n_iter=10000, egm_batches_per_eval=500, verbose=1, mesh=None,
+            egm_batch_size=None):
         """Train on images (n, 28, 28, 1) in [0, 1] (mnist.py:307-396).
-        ``mesh`` row-shards images + latent table (see CausalBGM.fit)."""
+        ``mesh`` row-shards images + latent table (see CausalBGM.fit);
+        ``egm_batch_size`` sizes only the EGM warm-start batch (default:
+        ``batch_size``)."""
         data = jnp.asarray(data, jnp.float32)
         n = data.shape[0]
         cfg = self.cfg
@@ -337,7 +340,8 @@ class MNISTBGM(BGM):
         else:
             start_epoch = 0
             if use_egm_init:
-                self.egm_init(data, egm_n_iter=egm_n_iter, batch_size=batch_size,
+                self.egm_init(data, egm_n_iter=egm_n_iter,
+                              batch_size=egm_batch_size or batch_size,
                               egm_batches_per_eval=egm_batches_per_eval, verbose=verbose)
                 print("Initialize latent variables Z with e(V)...")
                 z_init = cnn.mnist_encoder_apply(self.nets["e"], data)

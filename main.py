@@ -82,6 +82,32 @@ def _predict_overrides(params):
     return overrides
 
 
+def _fit_overrides(params, cls, engine):
+    """Pop and validate the optional ``fit:`` mapping from a YAML config.
+
+    Overrides training kwargs (egm_batch_size / egm_n_iter / batch_size /
+    epochs_per_eval / startoff) — e.g. the measured EGM warm-start schedule
+    egm_batch_size=128 + egm_n_iter=7500 (equal sample-visits at ~1/4 the
+    serial steps; RESULTS.md round 5).  Validated against the SELECTED
+    engine's fit signature so config errors fail before training."""
+    overrides = dict(params.pop("fit", None) or {})
+    allowed = {"egm_batch_size", "egm_n_iter", "batch_size",
+               "epochs_per_eval", "startoff"}
+    unknown = set(overrides) - allowed
+    if unknown:
+        raise ValueError(f"Unknown fit override(s) {sorted(unknown)}; "
+                         f"valid keys: {sorted(allowed)}")
+    sig = inspect.signature(cls.fit)
+    if not any(p.kind is inspect.Parameter.VAR_KEYWORD
+               for p in sig.parameters.values()):
+        unsupported = set(overrides) - set(sig.parameters)
+        if unsupported:
+            raise ValueError(
+                f"fit override(s) {sorted(unsupported)} not supported by "
+                f"model '{engine}' ({cls.__name__}.fit)")
+    return overrides
+
+
 def _check_overrides_against_engine(cls, engine, predict_overrides):
     """Fail fast (before the expensive fit) if a predict override isn't a
     kwarg of the SELECTED engine's predict — e.g. FullMCMCCausalBGM.predict
@@ -118,9 +144,12 @@ def run_causal(params, epochs, egm_iters):
                          f"{sorted(engines)}")
     cls = engines[engine]
     _check_overrides_against_engine(cls, engine, predict_overrides)
+    fit_overrides = _fit_overrides(params, cls, engine)
     model = cls(params=params, random_seed=None)
-    model.fit(data=(x, y, v), epochs=epochs, epochs_per_eval=10, use_egm_init=True,
-              egm_n_iter=egm_iters, egm_batches_per_eval=500, verbose=1)
+    fit_kwargs = dict(epochs=epochs, epochs_per_eval=10, use_egm_init=True,
+                      egm_n_iter=egm_iters, egm_batches_per_eval=500, verbose=1)
+    fit_kwargs.update(fit_overrides)
+    model.fit(data=(x, y, v), **fit_kwargs)
     if engine == "fullmcmc":
         # weight-space HMC over the fitted nets — predict() requires the
         # posterior weight samples (fullmcmc.py: f_net_samples).
@@ -174,9 +203,12 @@ def run_bgm(params, epochs, egm_iters):
         Y_train, Y_test = Y[:-n_test], Y[-n_test:]
         data = np.hstack([X_train, Y_train.reshape(-1, 1)]).astype("float32")
 
+    fit_overrides = _fit_overrides(params, BGM, "bgm")
     model = BGM(params=params, random_seed=123)
-    model.fit(data=data, epochs=epochs, epochs_per_eval=10, use_egm_init=True,
-              egm_n_iter=egm_iters, egm_batches_per_eval=500, verbose=1)
+    fit_kwargs = dict(epochs=epochs, epochs_per_eval=10, use_egm_init=True,
+                      egm_n_iter=egm_iters, egm_batches_per_eval=500, verbose=1)
+    fit_kwargs.update(fit_overrides)
+    model.fit(data=data, **fit_kwargs)
 
     if X_test is None:
         # low-rank branch: hide the first column of a held-out train slice
@@ -257,9 +289,12 @@ def run_mnist(params, epochs, egm_iters):
 
     data = _load_mnist_images()
 
+    fit_overrides = _fit_overrides(params, MNISTBGM, "mnist")
     model = MNISTBGM(params=params, random_seed=123)
-    model.fit(data=data, epochs=epochs, epochs_per_eval=10, use_egm_init=True,
-              egm_n_iter=egm_iters, egm_batches_per_eval=500, verbose=1)
+    fit_kwargs = dict(epochs=epochs, epochs_per_eval=10, use_egm_init=True,
+                      egm_n_iter=egm_iters, egm_batches_per_eval=500, verbose=1)
+    fit_kwargs.update(fit_overrides)
+    model.fit(data=data, **fit_kwargs)
 
     # Multi-mask inpainting sweep (the reference driver's eval loops,
     # src/main.py:157-255, covered the stripe/hole/half masks one at a time

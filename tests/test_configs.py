@@ -38,16 +38,21 @@ def test_config_constructs_model(path, tmp_path):
         engine = params.pop("model", "causalbgm")
         assert engine in engines, f"config uses unknown model '{engine}'"
         cls = engines[engine]
+        driver._fit_overrides(params, cls, engine)
         m = cls(params, random_seed=0)
         assert len(m.cfg.z_dims) == 4
     elif name in BGM_SETS:
+        import main as driver
         from bayesgm_tpu.models.bgm import BGM
 
+        driver._fit_overrides(params, BGM, "bgm")
         m = BGM(params, random_seed=0)
         assert m.cfg.z_dim >= 1
     elif name == "MNIST":
+        import main as driver
         from bayesgm_tpu.models.mnist import MNISTBGM
 
+        driver._fit_overrides(params, MNISTBGM, "mnist")
         m = MNISTBGM(params, random_seed=0)
         assert m.cfg.z_dim >= 1
     else:  # pragma: no cover - new config without a branch
@@ -98,6 +103,33 @@ def test_override_check_accepts_kwargs_forwarding_engine():
     with pytest.raises(ValueError, match="not supported by model 'fullmcmc'"):
         driver._check_overrides_against_engine(
             FullMCMCCausalBGM, "fullmcmc", {"ess_target": 400})
+
+
+def test_fit_overrides_block():
+    """main._fit_overrides pops the ``fit:`` block, validates keys against
+    the allowed set AND the selected engine's fit signature, tolerates
+    absence (mirrors the predict: override plumbing)."""
+    import main as driver
+    from bayesgm_tpu.models.bgm import BGM
+    from bayesgm_tpu.models.causalbgm import CausalBGM
+    from bayesgm_tpu.models.ensemble import EnsembleCausalBGM
+
+    params = {"dataset": "x", "fit": {"egm_batch_size": 128, "egm_n_iter": 7500}}
+    ov = driver._fit_overrides(params, CausalBGM, "causalbgm")
+    assert ov == {"egm_batch_size": 128, "egm_n_iter": 7500}
+    assert "fit" not in params
+
+    assert driver._fit_overrides({"dataset": "x"}, CausalBGM, "causalbgm") == {}
+    # BGM.fit also takes egm_batch_size (uniform surface)
+    assert driver._fit_overrides(
+        {"fit": {"egm_batch_size": 256}}, BGM, "bgm") == {"egm_batch_size": 256}
+    # kwargs-forwarding engines (Ensemble) accept anything in the allowed set
+    assert driver._fit_overrides(
+        {"fit": {"egm_batch_size": 128}}, EnsembleCausalBGM, "ensemble") \
+        == {"egm_batch_size": 128}
+
+    with pytest.raises(ValueError, match="Unknown fit override"):
+        driver._fit_overrides({"fit": {"egm_bs": 1}}, CausalBGM, "causalbgm")
 
 
 def test_fast_config_merge_matches_shipped_recipe():
